@@ -1,11 +1,267 @@
-"""Adaptive CDF contexts (stub — full tables land with the entropy core).
+"""Adaptive CDF contexts.
 
-Parity target: src/cdf.rs (CdfContext, rav1d_cdf_thread_init_static,
-rav1d_cdf_thread_update).
+Behavior parity: src/cdf.rs — CdfContext (mode/kfym/coef/mv/dmv groups),
+rav1d_cdf_thread_init_static (qindex-category defaults), and
+rav1d_cdf_thread_update (post-tile refresh: copy probs, zero counters).
+
+Storage convention: each CDF is a mutable Python list of u16 where
+list[i] = (32768 - spec_cdf[i]) & 0x7fff and the adaptation counter lives at
+list[n_symbols] (which doubles as the terminal zero since counter <= 32 and
+msac shifts by EC_PROB_SHIFT=6). Default tables are AV1-spec normative data
+loaded from tables/default_cdf.npz (see tools_py/extract_cdf_tables.py).
 """
+
+from __future__ import annotations
+
+import os
+from types import SimpleNamespace
+
+import numpy as np
+
+_NPZ = os.path.join(os.path.dirname(__file__), "..", "tables", "default_cdf.npz")
+
+N_INTRA_PRED_MODES = 13
+N_UV_INTRA_PRED_MODES = 14
+N_COMP_INTER_PRED_MODES = 8
+N_TX_SIZES = 5
+N_MV_JOINTS = 4
+N_BS = 22  # BlockSize::COUNT
+N_BL = 5  # BlockLevel::COUNT
+MAX_SEGMENTS = 8
+N_SWITCHABLE_FILTERS = 3
+
+# partition symbol count per block level (dav1d_partition_type_count):
+# levels 128..16 have 10 partition types (9 probs), 8x8 has 4 (3 probs).
+PARTITION_TYPE_COUNT = [9, 9, 9, 9, 3]
+
+
+def _load_defaults():
+    data = np.load(_NPZ)
+    return {k: data[k] for k in data.files}
+
+
+_DEFAULTS = _load_defaults()
+
+
+def _to_lists(arr: np.ndarray, pad: int = 1):
+    """Convert an ndarray of CDF tables to nested mutable lists, appending
+    `pad` zero slots to each innermost vector (counter slot headroom)."""
+    if arr.ndim == 1:
+        return [int(x) for x in arr] + [0] * pad
+    return [_to_lists(sub, pad) for sub in arr]
+
+
+def _clone(v):
+    if isinstance(v[0], list):
+        return [_clone(x) for x in v]
+    return list(v)
+
+
+class _Group(SimpleNamespace):
+    def clone(self):
+        g = _Group()
+        for k, v in self.__dict__.items():
+            g.__dict__[k] = _clone(v)
+        return g
+
+
+def _mv_component_template():
+    c = _Group()
+    c.classes = _to_lists(_DEFAULTS["mv_comp.classes"])
+    c.class0_fp = _to_lists(_DEFAULTS["mv_comp.class0_fp"])
+    c.classN_fp = _to_lists(_DEFAULTS["mv_comp.classN_fp"])
+    c.class0_hp = _to_lists(_DEFAULTS["mv_comp.class0_hp"])
+    c.classN_hp = _to_lists(_DEFAULTS["mv_comp.classN_hp"])
+    c.class0 = _to_lists(_DEFAULTS["mv_comp.class0"])
+    c.classN = _to_lists(_DEFAULTS["mv_comp.classN"])
+    c.sign = _to_lists(_DEFAULTS["mv_comp.sign"])
+    return c
+
+
+def get_qcat_idx(q: int) -> int:
+    if q <= 20:
+        return 0
+    if q <= 60:
+        return 1
+    if q <= 120:
+        return 2
+    return 3
 
 
 class CdfContext:
+    """All adaptive symbol contexts for one tile/frame."""
+
+    __slots__ = ("m", "kfym", "coef", "mv", "dmv")
+
+    def __init__(self, m, kfym, coef, mv, dmv):
+        self.m = m
+        self.kfym = kfym
+        self.coef = coef
+        self.mv = mv
+        self.dmv = dmv
+
     @classmethod
     def from_qindex(cls, qidx: int) -> "CdfContext":
-        raise NotImplementedError("CDF tables land with the entropy core")
+        qcat = get_qcat_idx(qidx)
+        m = _Group()
+        for key, arr in _DEFAULTS.items():
+            if key.startswith("m."):
+                setattr(m, key[2:], _to_lists(arr))
+        kfym = _to_lists(_DEFAULTS["kfym"])
+        coef = _Group()
+        for key, arr in _DEFAULTS.items():
+            if key.startswith(f"coef{qcat}."):
+                setattr(coef, key.split(".", 1)[1], _to_lists(arr))
+        mv = _Group(
+            joint=_to_lists(_DEFAULTS["mv_joint"]),
+            comp=[_mv_component_template(), _mv_component_template()],
+        )
+        dmv = _Group(
+            joint=_to_lists(_DEFAULTS["mv_joint"]),
+            comp=[_mv_component_template(), _mv_component_template()],
+        )
+        return cls(m, kfym, coef, mv, dmv)
+
+    def clone(self) -> "CdfContext":
+        mv = _Group(
+            joint=_clone(self.mv.joint),
+            comp=[self.mv.comp[0].clone(), self.mv.comp[1].clone()],
+        )
+        dmv = _Group(
+            joint=_clone(self.dmv.joint),
+            comp=[self.dmv.comp[0].clone(), self.dmv.comp[1].clone()],
+        )
+        return CdfContext(
+            self.m.clone(), _clone(self.kfym), self.coef.clone(), mv, dmv
+        )
+
+    # -- post-tile refresh (rav1d_cdf_thread_update, src/cdf.rs:4906) -------
+
+    def updated(self, frame_hdr) -> "CdfContext":
+        """Return a copy with adaptation counters zeroed, mirroring the
+        reference's per-table update list exactly (counter slot = n_symbols)."""
+        dst = self.clone()
+        m, coef = dst.m, dst.coef
+
+        def cdf1(lst, n):
+            lst[n] = 0
+
+        def cdf2(lsts, n):
+            for l in lsts:
+                l[n] = 0
+
+        def cdf3(lsts, n):
+            for l2 in lsts:
+                cdf2(l2, n)
+
+        def cdf4(lsts, n):
+            for l3 in lsts:
+                cdf3(l3, n)
+
+        def bit0(lst):
+            lst[1] = 0
+
+        def bit1(lsts):
+            for l in lsts:
+                l[1] = 0
+
+        def bit2(lsts):
+            for l2 in lsts:
+                bit1(l2)
+
+        def bit3(lsts):
+            for l3 in lsts:
+                bit2(l3)
+
+        bit1(m.use_filter_intra)
+        cdf1(m.filter_intra, 4)
+        for k in range(2):
+            cdf2(m.uv_mode[k], N_UV_INTRA_PRED_MODES - 1 - (1 if k == 0 else 0))
+        cdf2(m.angle_delta, 6)
+        for k in range(N_TX_SIZES - 1):
+            cdf2(m.txsz[k], min(k + 1, 2))
+        cdf3(m.txtp_intra1, 6)
+        cdf3(m.txtp_intra2, 4)
+        bit1(m.skip)
+        for k in range(N_BL):
+            cdf2(m.partition[k], PARTITION_TYPE_COUNT[k])
+        bit2(coef.skip)
+        cdf3(coef.eob_bin_16, 4)
+        cdf3(coef.eob_bin_32, 5)
+        cdf3(coef.eob_bin_64, 6)
+        cdf3(coef.eob_bin_128, 7)
+        cdf3(coef.eob_bin_256, 8)
+        cdf2(coef.eob_bin_512, 9)
+        cdf2(coef.eob_bin_1024, 10)
+        bit3(coef.eob_hi_bit)
+        cdf4(coef.eob_base_tok, 2)
+        cdf4(coef.base_tok, 3)
+        bit2(coef.dc_sign)
+        cdf4(coef.br_tok, 3)
+        cdf2(m.seg_id, MAX_SEGMENTS - 1)
+        cdf1(m.cfl_sign, 7)
+        cdf2(m.cfl_alpha, 15)
+        bit0(m.restore_wiener)
+        bit0(m.restore_sgrproj)
+        cdf1(m.restore_switchable, 2)
+        cdf1(m.delta_q, 3)
+        cdf2(m.delta_lf, 3)
+        bit2(m.pal_y)
+        bit1(m.pal_uv)
+        cdf3(m.pal_sz, 6)
+        for l in range(2):
+            for k in range(7):
+                cdf2(m.color_map[l][k], k + 1)
+        bit2(m.txpart)
+        cdf2(m.txtp_inter1, 15)
+        cdf1(m.txtp_inter2, 11)
+        bit1(m.txtp_inter3)
+
+        if frame_hdr.frame_type.is_key_or_intra:
+            bit0(m.intrabc)
+            cdf1(dst.dmv.joint, N_MV_JOINTS - 1)
+            for k in range(2):
+                cdf1(dst.dmv.comp[k].classes, 10)
+                bit0(dst.dmv.comp[k].class0)
+                bit1(dst.dmv.comp[k].classN)
+                bit0(dst.dmv.comp[k].sign)
+            return dst
+
+        bit1(m.skip_mode)
+        cdf2(m.y_mode, N_INTRA_PRED_MODES - 1)
+        cdf3(m.filter, N_SWITCHABLE_FILTERS - 1)
+        bit1(m.newmv_mode)
+        bit1(m.globalmv_mode)
+        bit1(m.refmv_mode)
+        bit1(m.drl_bit)
+        cdf2(m.comp_inter_mode, N_COMP_INTER_PRED_MODES - 1)
+        bit1(m.intra)
+        bit1(m.comp)
+        bit1(m.comp_dir)
+        bit1(m.jnt_comp)
+        bit1(m.mask_comp)
+        bit1(m.wedge_comp)
+        cdf2(m.wedge_idx, 15)
+        bit2(m.ref)
+        bit2(m.comp_fwd_ref)
+        bit2(m.comp_bwd_ref)
+        bit2(m.comp_uni_ref)
+        bit1(m.seg_pred)
+        bit1(m.interintra)
+        bit1(m.interintra_wedge)
+        cdf2(m.interintra_mode, 3)
+        cdf2(m.motion_mode, 2)
+        bit1(m.obmc)
+
+        cdf1(dst.mv.joint, N_MV_JOINTS - 1)
+        for k in range(2):
+            c = dst.mv.comp[k]
+            cdf1(c.classes, 10)
+            bit0(c.class0)
+            bit1(c.classN)
+            cdf2(c.class0_fp, 3)
+            cdf1(c.classN_fp, 3)
+            bit0(c.class0_hp)
+            bit0(c.classN_hp)
+            bit0(c.sign)
+        return dst
