@@ -13,7 +13,7 @@ import time
 
 sys.path.insert(0, ".")
 
-VECTOR = "/root/reference/tests/dav1d-test-data/8-bit/size/av1-1-b8-01-size-16x16.ivf"
+VECTOR = "/root/reference/tests/dav1d-test-data/8-bit/issues/324_tennis.ivf"
 BASELINE_FPS = 300.0  # placeholder: dav1d-on-one-core estimate for tiny streams
 
 
@@ -39,7 +39,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "decode_fps_16x16_8bit",
+                    "metric": "decode_fps_intra_8bit",
                     "value": round(fps, 3),
                     "unit": "frames/sec",
                     "vs_baseline": round(fps / BASELINE_FPS, 4),
@@ -50,7 +50,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "decode_fps_16x16_8bit",
+                    "metric": "decode_fps_intra_8bit",
                     "value": 0.0,
                     "unit": "frames/sec",
                     "vs_baseline": 0.0,

@@ -1,5 +1,146 @@
-"""Whole-frame decode driver (parity: src/decode.rs rav1d_decode_frame)."""
+"""Whole-frame decode driver (parity: src/decode.rs rav1d_decode_frame_init
+:4069, _init_cdf :4400, _main :4497 — synchronous single-context path)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..headers import PixelLayout
+from ..syntax.decode import (
+    DecodeError,
+    TaskContext,
+    TileState,
+    init_quant_tables,
+    decode_tile_sbrow,
+    reset_context,
+)
 
 
 def decode_frame(ctx, f):
-    raise NotImplementedError("frame decode lands with the syntax+recon layers")
+    seq_hdr = f.seq_hdr
+    frame_hdr = f.frame_hdr
+
+    if frame_hdr.quant.qm:
+        raise NotImplementedError("quantizer matrices land with the qm tables")
+
+    # frame-wide quant tables
+    f.dq = [[[0, 0] for _ in range(3)] for _ in range(8)]
+    init_quant_tables(seq_hdr, frame_hdr, frame_hdr.quant.yac, f.dq)
+    f.qm = [[None] * 3 for _ in range(19)]
+
+    # frame-wide loopfilter levels (per seg): [8][4]
+    from .lf_mask import calc_lf_values
+
+    f.lf_lvl = calc_lf_values(frame_hdr, [0, 0, 0, 0])
+
+    # cdef index storage: one per 64x64 unit
+    n64w = (f.bw + 15) >> 4
+    n64h = (f.bh + 15) >> 4
+    f.cdef_idx = np.full((n64h + 1, n64w + 1), -1, dtype=np.int32)
+
+    # intra-prediction top edges per superblock row (pre-filter pixel rows)
+    layout = f.cur.layout
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    f.ipred_edge = [
+        np.zeros((f.sbh, f.sb128w * 128), dtype=np.int32) for _ in range(3)
+    ]
+
+    f.record_for_lf = False  # deblock maps land with the loopfilter milestone
+    f.all_lossless_cdef = frame_hdr.all_lossless
+
+    # per-frame flat segmap view for context derivation
+    if f.cur_segmap is None and frame_hdr.segmentation.enabled:
+        f.cur_segmap = np.zeros((f.sb128h * 32, f.b4_stride), dtype=np.uint8)
+
+    keyframe = frame_hdr.frame_type.is_key_or_intra
+
+    cols = frame_hdr.tiling.cols
+    rows = frame_hdr.tiling.rows
+
+    # slice tile data out of the tile groups (src/decode.rs:4400 init_cdf)
+    tile_data = _split_tiles(f, frame_hdr)
+
+    # tile states
+    tile_states = []
+    for tr in range(rows):
+        for tc in range(cols):
+            ts = TileState(f, tr, tc, tile_data[tr * cols + tc])
+            reset_context(ts.a, keyframe, 0)
+            tile_states.append(ts)
+
+    t = TaskContext(f)
+
+    update_idx = frame_hdr.tiling.update
+    out_cdf = None
+
+    for tile_row in range(rows):
+        sbh_start = frame_hdr.tiling.row_start_sb[tile_row]
+        sbh_end = min(frame_hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
+        for sby in range(sbh_start, sbh_end):
+            for col in range(cols):
+                ts = tile_states[tile_row * cols + col]
+                if ts.msac.cnt < -15:
+                    raise DecodeError("msac overread")
+                t.pal_sz_uv[1] = [0] * 32
+                decode_tile_sbrow_wrap(t, f, ts, sby)
+            # post-filters for this sbrow would run here (deblock/cdef/lr)
+            _backup_ipred_edges(f, tile_states, tile_row, cols, sby)
+
+    if frame_hdr.refresh_context:
+        f.out_cdf = tile_states[update_idx].cdf.updated(frame_hdr)
+
+
+def decode_tile_sbrow_wrap(t, f, ts, sby):
+    decode_tile_sbrow(t, f, ts, sby)
+
+
+def _backup_ipred_edges(f, tile_states, tile_row, cols, sby):
+    """Save the bottom pixel row of this sbrow as next row's top edge
+    (rav1d_backup_ipred_edge, src/recon.rs:4340)."""
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    by = sby << f.sb_shift
+    y_row = (by + f.sb_step) * 4 - 1
+    for col in range(cols):
+        ts = tile_states[tile_row * cols + col]
+        x0 = ts.col_start * 4
+        x1 = ts.col_end * 4
+        f.ipred_edge[0][sby, x0:x1] = f.cur.y[y_row, x0:x1]
+        if layout != PixelLayout.I400:
+            uv_row = (((by + f.sb_step) * 4) >> ss_ver) - 1
+            cx0 = x0 >> ss_hor
+            cx1 = x1 >> ss_hor
+            f.ipred_edge[1][sby, cx0:cx1] = f.cur.u[uv_row, cx0:cx1]
+            f.ipred_edge[2][sby, cx0:cx1] = f.cur.v[uv_row, cx0:cx1]
+
+
+def _split_tiles(f, frame_hdr):
+    """Slice the accumulated tile-group payloads into per-tile msac buffers
+    (parity: rav1d_decode_frame_init_cdf tile setup, src/decode.rs:4400)."""
+    from ..bits import GetBits
+
+    n_tiles = frame_hdr.tiling.cols * frame_hdr.tiling.rows
+    out = [None] * n_tiles
+    for tg in f.tiles:
+        data = tg.data
+        start, end = tg.hdr.start, tg.hdr.end
+        pos = 0
+        for n in range(start, end + 1):
+            if n == end:
+                sz = len(data) - pos
+            else:
+                sz = 0
+                n_bytes = frame_hdr.tiling.n_bytes
+                for i in range(n_bytes):
+                    sz |= data[pos + i] << (i * 8)
+                sz += 1
+                pos += n_bytes
+            if sz > len(data) - pos:
+                raise DecodeError("tile size overruns tile group")
+            out[n] = data[pos : pos + sz]
+            pos += sz
+    if any(v is None for v in out):
+        raise DecodeError("missing tiles")
+    f.tiles = []
+    return out

@@ -8,15 +8,25 @@ from rav1d_tpu.decoder import Decoder
 from rav1d_tpu.headers import PixelLayout, Profile
 
 
+class _Stop(Exception):
+    pass
+
+
 def parse_first_tu(relpath):
-    """Feed packets until the decoder reaches frame decode (stubbed or real)."""
+    """Feed the first temporal unit, stopping at frame submission (headers
+    fully parsed; decode itself is covered by the e2e tests)."""
     demux = IvfDemuxer(vector_path(relpath))
     dec = Decoder()
+
+    def stop():
+        raise _Stop
+
+    dec.submit_frame = stop
     pkt = demux.read()
     try:
         dec.send_data(pkt.data, pkt.timestamp)
-    except NotImplementedError:
-        pass  # decode stub: headers already parsed
+    except (_Stop, NotImplementedError):
+        pass
     return dec, demux
 
 
