@@ -733,17 +733,19 @@ _FLIPADST = {
 }
 _IDENTITY = {4: _identity4, 8: _identity8, 16: _identity16, 32: _identity32}
 
-# txtp → (horizontal 1d family, vertical 1d family)
+# txtp → (horizontal 1d family, vertical 1d family). NOTE: the AV1 tx-type
+# enum names are (vertical, horizontal), so mixed pairs swap here
+# (src/itx_tmpl.c:203 maps DCT_ADST → inv_txfm_add_adst_dct).
 _TXTP_1D = {
     DCT_DCT: ("dct", "dct"),
-    ADST_DCT: ("adst", "dct"),
-    DCT_ADST: ("dct", "adst"),
+    ADST_DCT: ("dct", "adst"),
+    DCT_ADST: ("adst", "dct"),
     ADST_ADST: ("adst", "adst"),
-    FLIPADST_DCT: ("flipadst", "dct"),
-    DCT_FLIPADST: ("dct", "flipadst"),
+    FLIPADST_DCT: ("dct", "flipadst"),
+    DCT_FLIPADST: ("flipadst", "dct"),
     FLIPADST_FLIPADST: ("flipadst", "flipadst"),
-    ADST_FLIPADST: ("adst", "flipadst"),
-    FLIPADST_ADST: ("flipadst", "adst"),
+    ADST_FLIPADST: ("flipadst", "adst"),
+    FLIPADST_ADST: ("adst", "flipadst"),
     IDTX: ("identity", "identity"),
     V_DCT: ("identity", "dct"),
     H_DCT: ("dct", "identity"),

@@ -37,6 +37,7 @@ def decode_frame(ctx, f):
     n64w = (f.bw + 15) >> 4
     n64h = (f.bh + 15) >> 4
     f.cdef_idx = np.full((n64h + 1, n64w + 1), -1, dtype=np.int32)
+    f.noskip4 = np.zeros((f.bh + 32, f.bw + 32), dtype=np.uint8)
 
     # intra-prediction top edges per superblock row (pre-filter pixel rows)
     layout = f.cur.layout
@@ -45,7 +46,9 @@ def decode_frame(ctx, f):
         np.zeros((f.sbh, f.sb128w * 128), dtype=np.int32) for _ in range(3)
     ]
 
-    f.record_for_lf = False  # deblock maps land with the loopfilter milestone
+    from .lf import init_lf_maps
+
+    init_lf_maps(f)
     f.all_lossless_cdef = frame_hdr.all_lossless
 
     # per-frame flat segmap view for context derivation
@@ -85,6 +88,18 @@ def decode_frame(ctx, f):
                 decode_tile_sbrow_wrap(t, f, ts, sby)
             # post-filters for this sbrow would run here (deblock/cdef/lr)
             _backup_ipred_edges(f, tile_states, tile_row, cols, sby)
+
+    from .lf import apply_loopfilter
+    from .cdef_apply import apply_cdef
+
+    apply_loopfilter(f)
+    f.noskip8 = (
+        f.noskip4[0 : f.bh + 32 : 2, 0 : f.bw + 32 : 2]
+        | f.noskip4[1 : f.bh + 32 : 2, 1 : f.bw + 32 : 2]
+        | f.noskip4[0 : f.bh + 32 : 2, 1 : f.bw + 32 : 2]
+        | f.noskip4[1 : f.bh + 32 : 2, 0 : f.bw + 32 : 2]
+    )
+    apply_cdef(f)
 
     if frame_hdr.refresh_context:
         f.out_cdf = tile_states[update_idx].cdf.updated(frame_hdr)

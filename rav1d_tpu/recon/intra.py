@@ -196,6 +196,11 @@ def recon_b_intra(t, f, ts, bs, intra_edge_flags, b):
                             0,
                             cf,
                         )
+                        from ..syntax.decode import trace
+
+                        trace(
+                            f"Post-y-cf-blk[tx={b.tx},txtp={txtp},eob={eob}]: r={ts.msac.rng}"
+                        )
                         for i in range(min(t_dim.h, f.bh - t.by)):
                             t.l.lcoef[(by4 + y + i) & 31] = cf_ctx
                         for i in range(min(t_dim.w, f.bw - t.bx)):
@@ -428,6 +433,11 @@ def _recon_chroma(
                         1,
                         1 + pl,
                         cf,
+                    )
+                    from ..syntax.decode import trace
+
+                    trace(
+                        f"Post-uv-cf-blk[pl={pl},tx={b.uvtx},txtp={txtp},eob={eob}]: r={ts.msac.rng}"
                     )
                     for i in range(
                         min(uv_t_dim.h, (f.bh - t.by + ss_ver) >> ss_ver)

@@ -1,0 +1,191 @@
+"""Deblock edge-map recording and whole-frame application.
+
+Equivalent reformulation of rav1d's per-128x128 bitmask machinery
+(src/lf_mask.rs mask_edges_* + src/lf_apply.rs filter_plane_*): during
+decode we record, per 4x4 cell, the filter-width class of the vertical /
+horizontal edge at its left/top border (0 = unfiltered), plus the per-cell
+filter levels. Application then filters all vertical edges, then all
+horizontal edges (spec ordering; equivalent to rav1d's sbrow staging).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..headers import PixelLayout
+from ..tables.block_tables import BLOCK_DIMENSIONS, TXFM_DIMENSIONS
+from ..ops.ref.lf import calc_eih, filter_edge_h, filter_edge_v
+
+
+def init_lf_maps(f):
+    h4, w4 = f.bh, f.bw
+    f.lf_level = np.zeros((h4 + 1, f.b4_stride, 4), dtype=np.uint8)
+    f.lf_cls = [
+        np.zeros((h4 + 1, w4 + 1), dtype=np.uint8),  # y vertical edges
+        np.zeros((h4 + 1, w4 + 1), dtype=np.uint8),  # y horizontal edges
+        np.zeros((h4 + 1, w4 + 1), dtype=np.uint8),  # uv vertical (chroma coords)
+        np.zeros((h4 + 1, w4 + 1), dtype=np.uint8),  # uv horizontal
+    ]
+
+
+def _decomp_tx(txa, from_tx, depth, y_off, x_off, tx_masks):
+    """src/lf_mask.rs decomp_tx: fill per-cell (txw,txh) maps for var-tx."""
+    t_dim = TXFM_DIMENSIONS[from_tx]
+    y0 = y_off * t_dim.h
+    x0 = x_off * t_dim.w
+    if from_tx == 0 or depth > 1:
+        is_split = False
+    else:
+        is_split = (tx_masks[depth] >> (y_off * 4 + x_off)) & 1 != 0
+    if is_split:
+        sub = t_dim.sub
+        _decomp_tx(txa, sub, depth + 1, y_off * 2, x_off * 2, tx_masks)
+        if t_dim.w >= t_dim.h:
+            _decomp_tx(txa, sub, depth + 1, y_off * 2, x_off * 2 + 1, tx_masks)
+        if t_dim.h >= t_dim.w:
+            _decomp_tx(txa, sub, depth + 1, y_off * 2 + 1, x_off * 2, tx_masks)
+            if t_dim.w >= t_dim.h:
+                _decomp_tx(txa, sub, depth + 1, y_off * 2 + 1, x_off * 2 + 1, tx_masks)
+    else:
+        lw = min(2, t_dim.lw)
+        lh = min(2, t_dim.lh)
+        for y in range(t_dim.h):
+            for x in range(t_dim.w):
+                txa[0][0][y0 + y][x0 + x] = lw
+                txa[1][0][y0 + y][x0 + x] = lh
+            txa[0][1][y0 + y][x0] = t_dim.w
+        for x in range(t_dim.w):
+            txa[1][1][y0][x0 + x] = t_dim.h
+
+
+def record_lf_intra(f, ts, t, b, bs, has_chroma):
+    """mask_edges_intra + _chroma + level fill (create_lf_mask_intra)."""
+    frame_hdr = f.frame_hdr
+    lvls = ts.lflvl[b.seg_id]
+    bx, by = t.bx, t.by
+    b_dim = BLOCK_DIMENSIONS[bs]
+    bw4 = min(f.bw - bx, b_dim[0])
+    bh4 = min(f.bh - by, b_dim[1])
+
+    if bw4 and bh4:
+        f.lf_level[by : by + bh4, bx : bx + bw4, 0] = lvls[0][0][0]
+        f.lf_level[by : by + bh4, bx : bx + bw4, 1] = lvls[1][0][0]
+        t_dim = TXFM_DIMENSIONS[b.tx]
+        twl4c = min(2, t_dim.lw)
+        thl4c = min(2, t_dim.lh)
+        cls_v, cls_h = f.lf_cls[0], f.lf_cls[1]
+        # left block edge: class min(this tx, left neighbour tx)
+        for y in range(bh4):
+            cls_v[by + y, bx] = min(twl4c, t.l.tx_lpf_y[(by + y) & 31]) + 1
+        # top block edge
+        for x in range(bw4):
+            cls_h[by, bx + x] = min(thl4c, ts.a.tx_lpf_y[bx + x]) + 1
+        # inner tx edges (always coded for intra)
+        for x in range(t_dim.w, bw4, t_dim.w):
+            cls_v[by : by + bh4, bx + x] = twl4c + 1
+        for y in range(t_dim.h, bh4, t_dim.h):
+            cls_h[by + y, bx : bx + bw4] = thl4c + 1
+        for y in range(bh4):
+            t.l.tx_lpf_y[(by + y) & 31] = twl4c
+        for x in range(bw4):
+            ts.a.tx_lpf_y[bx + x] = thl4c
+
+    if not has_chroma:
+        return
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    cbw4 = min(((f.bw + ss_hor) >> ss_hor) - (bx >> ss_hor), (b_dim[0] + ss_hor) >> ss_hor)
+    cbh4 = min(((f.bh + ss_ver) >> ss_ver) - (by >> ss_ver), (b_dim[1] + ss_ver) >> ss_ver)
+    if cbw4 == 0 or cbh4 == 0:
+        return
+    cbx = bx >> ss_hor
+    cby = by >> ss_ver
+    f.lf_level[cby : cby + cbh4, cbx : cbx + cbw4, 2] = lvls[2][0][0]
+    f.lf_level[cby : cby + cbh4, cbx : cbx + cbw4, 3] = lvls[3][0][0]
+    record_chroma_edges(f, ts, t, b.uvtx, cbx, cby, cbw4, cbh4, False)
+
+
+def record_chroma_edges(f, ts, t, uvtx, cbx, cby, cbw4, cbh4, skip_inter):
+    uv_t_dim = TXFM_DIMENSIONS[uvtx]
+    twl4c = 1 if uv_t_dim.lw else 0
+    thl4c = 1 if uv_t_dim.lh else 0
+    cls_v, cls_h = f.lf_cls[2], f.lf_cls[3]
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    cby4 = cby & (31 >> ss_ver)  # position within sb for left ctx
+    for y in range(cbh4):
+        cls_v[cby + y, cbx] = min(twl4c, t.l.tx_lpf_uv[(cby4 + y) & 31]) + 1
+    for x in range(cbw4):
+        cls_h[cby, cbx + x] = min(thl4c, ts.a.tx_lpf_uv[cbx + x]) + 1
+    if not skip_inter:
+        for x in range(uv_t_dim.w, cbw4, uv_t_dim.w):
+            cls_v[cby : cby + cbh4, cbx + x] = twl4c + 1
+        for y in range(uv_t_dim.h, cbh4, uv_t_dim.h):
+            cls_h[cby + y, cbx : cbx + cbw4] = thl4c + 1
+    for y in range(cbh4):
+        t.l.tx_lpf_uv[(cby4 + y) & 31] = twl4c
+    for x in range(cbw4):
+        ts.a.tx_lpf_uv[cbx + x] = thl4c
+
+
+def apply_loopfilter(f):
+    """Filter all vertical edges, then all horizontal edges, all planes."""
+    frame_hdr = f.frame_hdr
+    if frame_hdr.loopfilter.level_y == [0, 0] and (
+        frame_hdr.loopfilter.level_u == 0 and frame_hdr.loopfilter.level_v == 0
+    ):
+        return
+    bpc = f.cur.bpc
+    e_lut, i_lut = calc_eih(frame_hdr.loopfilter.sharpness)
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    h4, w4 = f.bh, f.bw
+    ch4 = (f.bh + ss_ver) >> ss_ver
+    cw4 = (f.bw + ss_hor) >> ss_hor
+    lvl = f.lf_level
+    have_y = frame_hdr.loopfilter.level_y != [0, 0]
+    have_uv = (
+        layout != PixelLayout.I400
+        and (frame_hdr.loopfilter.level_u or frame_hdr.loopfilter.level_v)
+    )
+
+    def run(plane, cls_map, comp, nh4, nw4, horizontal):
+        for y in range(nh4):
+            for x in range(nw4):
+                cls_ = cls_map[y, x]
+                if not cls_:
+                    continue
+                if horizontal:
+                    if y == 0:
+                        continue
+                    L = int(lvl[y, x, comp]) or int(lvl[y - 1, x, comp])
+                else:
+                    if x == 0:
+                        continue
+                    L = int(lvl[y, x, comp]) or int(lvl[y, x - 1, comp])
+                if not L:
+                    continue
+                H = L >> 4
+                E = e_lut[L]
+                I = i_lut[L]
+                if comp == 0:
+                    wd = 4 << (cls_ - 1)
+                else:
+                    wd = 4 + 2 * (cls_ - 1)
+                if horizontal:
+                    filter_edge_h(plane, y * 4, x * 4, E, I, H, wd, bpc)
+                else:
+                    filter_edge_v(plane, y * 4, x * 4, E, I, H, wd, bpc)
+
+    if have_y:
+        run(f.cur.y, f.lf_cls[0], 0, h4, w4, False)
+    if have_uv:
+        run(f.cur.u, f.lf_cls[2], 2, ch4, cw4, False)
+        run(f.cur.v, f.lf_cls[2], 3, ch4, cw4, False)
+    if have_y:
+        run(f.cur.y, f.lf_cls[1], 1, h4, w4, True)
+    if have_uv:
+        run(f.cur.u, f.lf_cls[3], 2, ch4, cw4, True)
+        run(f.cur.v, f.lf_cls[3], 3, ch4, cw4, True)

@@ -58,6 +58,14 @@ class DecodeError(ValueError):
     pass
 
 
+TRACE = [False]
+
+
+def trace(msg):
+    if TRACE[0]:
+        print(msg)
+
+
 def iclip(v, lo, hi):
     return lo if v < lo else hi if v > hi else v
 
@@ -544,6 +552,7 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
     else:
         sctx = ts.a.skip[t.bx] + t.l.skip[by4]
         b.skip = msac.decode_bool_adapt(cdf.m.skip[sctx])
+        trace(f"Post-skip[{b.skip}]: r={msac.rng}")
 
     # segment_id (postskip)
     if (
@@ -586,9 +595,11 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
 
     # cdef index (one per 64x64 unit; first non-skip block reads it)
     if not b.skip:
+        f.noskip4[t.by : t.by + bh4, t.bx : t.bx + bw4] = 1
         uy, ux = t.by >> 4, t.bx >> 4
         if f.cdef_idx[uy, ux] == -1:
             v = msac.decode_bools(frame_hdr.cdef.n_bits)
+            trace(f"Post-cdef_idx[{v}]: r={msac.rng}")
             f.cdef_idx[uy, ux] = v
             if bw4 > 16:
                 f.cdef_idx[uy, ux + 1] = v
@@ -670,6 +681,7 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
                 INTRA_MODE_CONTEXT[t.l.mode[by4]]
             ]
         b.y_mode = msac.decode_symbol_adapt(ymode_cdf, N_INTRA_PRED_MODES - 1)
+        trace(f"Post-ymode[{b.y_mode}]: r={msac.rng}")
 
         if (
             b_dim[2] + b_dim[3] >= 2
@@ -691,6 +703,7 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
             b.uv_mode = msac.decode_symbol_adapt(
                 uvmode_cdf, N_UV_INTRA_PRED_MODES - 1 - (0 if cfl_allowed else 1)
             )
+            trace(f"Post-uvmode[{b.uv_mode}]: r={msac.rng}")
             b.uv_angle = 0
             if b.uv_mode == CFL_PRED:
                 sign = msac.decode_symbol_adapt(cdf.m.cfl_sign, 7) + 1
@@ -714,6 +727,7 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
                         b.cfl_alpha[1] = -b.cfl_alpha[1]
                 else:
                     b.cfl_alpha[1] = 0
+                trace(f"Post-uvalphas[{b.cfl_alpha[0]}/{b.cfl_alpha[1]}]: r={msac.rng}")
             elif (
                 b_dim[2] + b_dim[3] >= 2
                 and VERT_PRED <= b.uv_mode <= VERT_LEFT_PRED
@@ -752,6 +766,7 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
             if is_filter:
                 b.y_mode = FILTER_PRED
                 b.y_angle = msac.decode_symbol_adapt(cdf.m.filter_intra, 4)
+            trace(f"Post-filterintramode[{b.y_mode}/{b.y_angle}]: r={msac.rng}")
 
         if b.pal_sz[0]:
             _read_pal_indices(
@@ -785,12 +800,15 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
                 for _ in range(depth):
                     b.tx = t_dim.sub
                     t_dim = TXFM_DIMENSIONS[b.tx]
+            trace(f"Post-tx[{b.tx}]: r={msac.rng}")
 
         # reconstruction (interleaved with residual symbol decode)
         recon_b_intra(t, f, ts, bs, intra_edge_flags, b)
 
-        if f.record_for_lf:
-            f.lf_record_intra(t, ts, b, bs, bx4, by4, cbx4, cby4, bw4, bh4, has_chroma)
+        if frame_hdr.loopfilter.level_y != [0, 0]:
+            from ..recon.lf import record_lf_intra
+
+            record_lf_intra(f, ts, t, b, bs, has_chroma)
 
         y_mode_nofilt = DC_PRED if b.y_mode == FILTER_PRED else b.y_mode
         for i in range(bw4):
@@ -874,6 +892,7 @@ def decode_sb(t, f, ts, bl, edge_node):
 
     if have_h_split and have_v_split:
         bp = msac.decode_symbol_adapt(pc, PARTITION_TYPE_COUNT[bl])
+        trace(f"poc={f.frame_hdr.frame_offset},y={t.by},x={t.bx},bl={bl},ctx={ctx},bp={bp}: r={msac.rng}")
         if f.cur.layout == PixelLayout.I422 and bp in (
             PARTITION_V,
             PARTITION_V4,
@@ -979,6 +998,7 @@ def decode_sb(t, f, ts, bl, edge_node):
             t.bx -= (hsz * 3) >> 1
     elif have_h_split:
         is_split = msac.decode_bool(gather_top_partition_prob(pc, bl))
+        trace(f"poc={f.frame_hdr.frame_offset},y={t.by},x={t.bx},bl={bl},ctx={ctx},bp={3 if is_split else 1}: r={msac.rng}")
         assert bl < BL_8X8
         if is_split:
             bp = PARTITION_SPLIT
@@ -992,6 +1012,7 @@ def decode_sb(t, f, ts, bl, edge_node):
     else:
         assert have_v_split
         is_split = msac.decode_bool(gather_left_partition_prob(pc, bl))
+        trace(f"poc={f.frame_hdr.frame_offset},y={t.by},x={t.bx},bl={bl},ctx={ctx},bp={3 if is_split else 2}: r={msac.rng}")
         if f.cur.layout == PixelLayout.I422 and not is_split:
             raise DecodeError("no vertical split in 4:2:2")
         assert bl < BL_8X8
