@@ -71,11 +71,18 @@ def apply_cdef(f):
                 direction, variance = 0, 0
 
             if y_lvl:
-                adj = adjust_strength(y_pri, variance) if y_pri else 0
-                if adj or y_sec:
+                if y_pri:
+                    adj = adjust_strength(y_pri, variance)
+                    if adj or y_sec:
+                        cdef_filter_block(
+                            f.cur.y, y_src, by * 4, bx * 4, 8, 8,
+                            adj, y_sec, direction, damping,
+                            have_left, have_right, have_top, have_bottom, bpc,
+                        )
+                elif y_sec:
                     cdef_filter_block(
                         f.cur.y, y_src, by * 4, bx * 4, 8, 8,
-                        adj, y_sec, direction, damping,
+                        0, y_sec, 0, damping,
                         have_left, have_right, have_top, have_bottom, bpc,
                     )
             if uv_lvl and layout != PixelLayout.I400:

@@ -38,6 +38,8 @@ def decode_frame(ctx, f):
     n64h = (f.bh + 15) >> 4
     f.cdef_idx = np.full((n64h + 1, n64w + 1), -1, dtype=np.int32)
     f.noskip4 = np.zeros((f.bh + 32, f.bw + 32), dtype=np.uint8)
+    f.lr_units = {}
+    f.sr_sb128w = f.sb128w  # post-superres width (differs only with superres)
 
     # intra-prediction top edges per superblock row (pre-filter pixel rows)
     layout = f.cur.layout
@@ -91,8 +93,16 @@ def decode_frame(ctx, f):
 
     from .lf import apply_loopfilter
     from .cdef_apply import apply_cdef
+    from .lr_apply import apply_lr, restore_planes_mask
 
     apply_loopfilter(f)
+    pre_cdef = None
+    if restore_planes_mask(frame_hdr):
+        pre_cdef = [
+            f.cur.y.copy(),
+            f.cur.u.copy() if f.cur.u is not None else None,
+            f.cur.v.copy() if f.cur.v is not None else None,
+        ]
     f.noskip8 = (
         f.noskip4[0 : f.bh + 32 : 2, 0 : f.bw + 32 : 2]
         | f.noskip4[1 : f.bh + 32 : 2, 1 : f.bw + 32 : 2]
@@ -100,6 +110,8 @@ def decode_frame(ctx, f):
         | f.noskip4[1 : f.bh + 32 : 2, 0 : f.bw + 32 : 2]
     )
     apply_cdef(f)
+    if pre_cdef is not None:
+        apply_lr(f, pre_cdef)
 
     if frame_hdr.refresh_context:
         f.out_cdf = tile_states[update_idx].cdf.updated(frame_hdr)

@@ -117,6 +117,10 @@ class TileState:
         # above context spans the tile width (absolute bx4 indexing),
         # padded so right-edge overhanging blocks can write freely
         self.a = BlockContext(f.bw + 64)
+        # restoration-unit exp-coding references (setup_tile, decode.rs:3712)
+        from ..recon.lr_apply import RestorationUnit
+
+        self.lr_ref = [RestorationUnit(), RestorationUnit(), RestorationUnit()]
 
 
 class TaskContext:
@@ -1039,6 +1043,109 @@ def get_partition_ctx_abs(a, l, bl, yb8, xb8_abs):
     return ((a.partition[xb8_abs] >> sh) & 1) + 2 * ((l.partition[yb8] >> sh) & 1)
 
 
+def read_restoration_info(ts, lr, p, frame_type_r):
+    """src/decode.rs:3749."""
+    from ..headers import RestorationType
+    from ..tables.spec_data import SGR_PARAMS
+
+    msac = ts.msac
+    lr_ref = ts.lr_ref[p]
+    if frame_type_r == RestorationType.SWITCHABLE:
+        filt = msac.decode_symbol_adapt(ts.cdf.m.restore_switchable, 2)
+        lr.type = (
+            RestorationType.NONE
+            if filt == 0
+            else (RestorationType.SGRPROJ if filt == 2 else RestorationType.WIENER)
+        )
+        if lr.type == RestorationType.SGRPROJ:
+            lr.sgr_idx = 0
+    else:
+        bit = msac.decode_bool_adapt(
+            ts.cdf.m.restore_wiener
+            if frame_type_r == RestorationType.WIENER
+            else ts.cdf.m.restore_sgrproj
+        )
+        lr.type = frame_type_r if bit else RestorationType.NONE
+
+    def lr_subexp(ref, k, adjustment):
+        return msac.decode_subexp(ref + adjustment, 8 << k, k) - adjustment
+
+    if lr.type == RestorationType.WIENER:
+        lr.filter_v = [
+            0 if p else lr_subexp(lr_ref.filter_v[0], 1, 5),
+            lr_subexp(lr_ref.filter_v[1], 2, 23),
+            lr_subexp(lr_ref.filter_v[2], 3, 17),
+        ]
+        lr.filter_h = [
+            0 if p else lr_subexp(lr_ref.filter_h[0], 1, 5),
+            lr_subexp(lr_ref.filter_h[1], 2, 23),
+            lr_subexp(lr_ref.filter_h[2], 3, 17),
+        ]
+        lr.sgr_weights = list(lr_ref.sgr_weights)
+        ts.lr_ref[p] = lr.copy()
+        trace(
+            f"Post-lr_wiener[pl={p},v[{lr.filter_v[0]},{lr.filter_v[1]},{lr.filter_v[2]}],"
+            f"h[{lr.filter_h[0]},{lr.filter_h[1]},{lr.filter_h[2]}]]: r={msac.rng}"
+        )
+    elif lr.type == RestorationType.SGRPROJ:
+        sgr_idx = msac.decode_bools(4)
+        lr.sgr_idx = sgr_idx
+        s0, s1 = int(SGR_PARAMS[sgr_idx][0]), int(SGR_PARAMS[sgr_idx][1])
+        lr.sgr_weights = [
+            lr_subexp(lr_ref.sgr_weights[0], 4, 96) if s0 else 0,
+            lr_subexp(lr_ref.sgr_weights[1], 4, 32) if s1 else 95,
+        ]
+        lr.filter_v = list(lr_ref.filter_v)
+        lr.filter_h = list(lr_ref.filter_h)
+        ts.lr_ref[p] = lr.copy()
+        trace(
+            f"Post-lr_sgrproj[pl={p},idx={sgr_idx},"
+            f"w[{lr.sgr_weights[0]},{lr.sgr_weights[1]}]]: r={msac.rng}"
+        )
+
+
+def _read_sb_restoration(t, f, ts, sb_step):
+    """Per-superblock restoration info reads (decode.rs:3957)."""
+    from ..headers import PixelLayout as PL, RestorationType
+    from ..recon.lr_apply import RestorationUnit, restore_planes_mask
+
+    frame_hdr = f.frame_hdr
+    restore_planes = restore_planes_mask(frame_hdr)
+    if not restore_planes:
+        return
+    for p in range(3):
+        if not ((restore_planes >> p) & 1):
+            continue
+        ss_ver = 1 if (p and f.cur.layout == PL.I420) else 0
+        ss_hor = 1 if (p and f.cur.layout != PL.I444) else 0
+        unit_size_log2 = frame_hdr.restoration.unit_size[1 if p else 0]
+        y = (t.by * 4) >> ss_ver
+        h = (f.cur.h + ss_ver) >> ss_ver
+        unit_size = 1 << unit_size_log2
+        mask = unit_size - 1
+        if y & mask:
+            continue
+        half_unit = unit_size >> 1
+        if y and y + half_unit > h:
+            continue
+        frame_type_r = frame_hdr.restoration.type[p]
+        if frame_hdr.size.width[0] != frame_hdr.size.width[1]:
+            raise NotImplementedError("LR with super-res lands with superres")
+        x = (4 * t.bx) >> ss_hor
+        if x & mask:
+            continue
+        w = (f.cur.w + ss_hor) >> ss_hor
+        if x and x + half_unit > w:
+            continue
+        sb_idx = (t.by >> 5) * f.sr_sb128w + (t.bx >> 5)
+        unit_idx = ((t.by & 16) >> 3) + ((t.bx & 16) >> 4)
+        lr = f.lr_units.get((p, sb_idx, unit_idx))
+        if lr is None:
+            lr = RestorationUnit()
+            f.lr_units[(p, sb_idx, unit_idx)] = lr
+        read_restoration_info(ts, lr, p, frame_type_r)
+
+
 def decode_tile_sbrow(t, f, ts, sby):
     """Decode one superblock row of one tile (src/decode.rs:3853, intra)."""
     from .intra_edge import root
@@ -1054,6 +1161,7 @@ def decode_tile_sbrow(t, f, ts, sby):
 
     t.bx = ts.col_start
     while t.bx < ts.col_end:
+        _read_sb_restoration(t, f, ts, sb_step)
         decode_sb(t, f, ts, root_bl, edge_root)
         t.bx += sb_step
 

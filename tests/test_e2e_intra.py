@@ -37,3 +37,29 @@ def test_intra_bit_exact(rel, expected):
     got, n = decode_md5(rel)
     assert n == 1
     assert got == expected
+
+
+@pytest.mark.parametrize(
+    "rel,expected,frames",
+    [
+        ("8-bit/issues/320_tennis.ivf", "86e9c91b80bb738693c3781e728fd7f5", 1),
+    ],
+)
+def test_intra_lr_bit_exact(rel, expected, frames):
+    got, n = decode_md5(rel)
+    assert n == frames
+    assert got == expected
+
+
+@pytest.mark.slow
+def test_allintra_bit_exact():
+    got, n = decode_md5("8-bit/intra/av1-1-b8-02-allintra.ivf")
+    assert n == 39
+    assert got == "4f00f5a1a173a99c1bf0406dea809182"
+
+
+@pytest.mark.slow
+def test_longleb_bit_exact():
+    got, n = decode_md5("8-bit/features/long_leb.ivf")
+    assert n == 1
+    assert got == "d685b7961a77692eb4a1a4a22b3ab8ab"
