@@ -323,7 +323,9 @@ class Decoder:
 
         # mvs / refpoc
         if frame_hdr.frame_type.is_inter_or_switch or frame_hdr.allow_intrabc:
-            f.mvs = np.zeros((f.sb128h * 16, f.b4_stride >> 1, 3), dtype=np.int16)
+            from .syntax.refmvs import TB_DT
+
+            f.mvs = np.zeros((f.sb128h * 16, f.b4_stride >> 1), dtype=TB_DT)
             if not frame_hdr.allow_intrabc:
                 for i in range(7):
                     f.refpoc[i] = f.refp[i].frame_hdr.frame_offset

@@ -53,6 +53,17 @@ def decode_frame(ctx, f):
     init_lf_maps(f)
     f.all_lossless_cdef = frame_hdr.all_lossless
 
+    # ref mvs (decode.rs:4327 init refmvs frame state)
+    from ..syntax import refmvs as _refmvs
+
+    if frame_hdr.frame_type.is_inter_or_switch or frame_hdr.allow_intrabc:
+        f.rf = _refmvs.RefMvsFrame()
+        f.rf.init_frame(
+            seq_hdr, frame_hdr, f.refpoc, f.mvs, f.refrefpoc, f.ref_mvs
+        )
+    else:
+        f.rf = None
+
     # per-frame flat segmap view for context derivation
     if f.cur_segmap is None and frame_hdr.segmentation.enabled:
         f.cur_segmap = np.zeros((f.sb128h * 32, f.b4_stride), dtype=np.uint8)
@@ -78,16 +89,25 @@ def decode_frame(ctx, f):
     update_idx = frame_hdr.tiling.update
     out_cdf = None
 
+    is_inter_or_switch = frame_hdr.frame_type.is_inter_or_switch
     for tile_row in range(rows):
         sbh_start = frame_hdr.tiling.row_start_sb[tile_row]
         sbh_end = min(frame_hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
         for sby in range(sbh_start, sbh_end):
+            by = sby << f.sb_shift
+            by_end = (by + f.sb_step) >> 1
+            if frame_hdr.use_ref_frame_mvs:
+                _refmvs.load_tmvs(
+                    f.rf, frame_hdr, 0, f.bw >> 1, by >> 1, by_end
+                )
             for col in range(cols):
                 ts = tile_states[tile_row * cols + col]
                 if ts.msac.cnt < -15:
                     raise DecodeError("msac overread")
                 t.pal_sz_uv[1] = [0] * 32
                 decode_tile_sbrow_wrap(t, f, ts, sby)
+            if is_inter_or_switch:
+                _refmvs.save_tmvs(f.rf, 0, f.bw >> 1, by >> 1, by_end)
             # post-filters for this sbrow would run here (deblock/cdef/lr)
             _backup_ipred_edges(f, tile_states, tile_row, cols, sby)
 

@@ -106,6 +106,91 @@ def record_lf_intra(f, ts, t, b, bs, has_chroma):
     record_chroma_edges(f, ts, t, b.uvtx, cbx, cby, cbw4, cbh4, False)
 
 
+def record_lf_inter(f, ts, t, b, bs, is_comp, has_chroma):
+    """mask_edges_inter + chroma + level fill (rav1d_create_lf_mask_inter,
+    src/lf_mask.rs:486). Var-tx aware via b.tx_split0/1."""
+    from ..syntax.levels import GLOBALMV, GLOBALMV_GLOBALMV, TX_4X4
+
+    frame_hdr = f.frame_hdr
+    is_globalmv = b.inter_mode == (GLOBALMV_GLOBALMV if is_comp else GLOBALMV)
+    idx = 0 if is_globalmv else 1
+    lvls = ts.lflvl[b.seg_id]
+    ref = b.ref[0] + 1
+    bx, by = t.bx, t.by
+    b_dim = BLOCK_DIMENSIONS[bs]
+    bw4 = min(f.bw - bx, b_dim[0])
+    bh4 = min(f.bh - by, b_dim[1])
+    max_ytx = b.max_ytx
+    uvtx = b.uvtx
+    if frame_hdr.segmentation.lossless[b.seg_id]:
+        max_ytx = TX_4X4
+        uvtx = TX_4X4
+    tx_masks = [b.tx_split0, b.tx_split1]
+
+    if bw4 and bh4:
+        f.lf_level[by : by + bh4, bx : bx + bw4, 0] = lvls[0][ref][idx]
+        f.lf_level[by : by + bh4, bx : bx + bw4, 1] = lvls[1][ref][idx]
+
+        t_dim = TXFM_DIMENSIONS[max_ytx]
+        # decompose the var-tx tree into per-cell (lw, lh, stepw, steph) maps
+        txa = [
+            [[[0] * 32 for _ in range(32)] for _ in range(2)] for _ in range(2)
+        ]
+        for y_off in range((bh4 + t_dim.h - 1) // t_dim.h):
+            for x_off in range((bw4 + t_dim.w - 1) // t_dim.w):
+                _decomp_tx(txa, max_ytx, 0, y_off, x_off, tx_masks)
+
+        cls_v, cls_h = f.lf_cls[0], f.lf_cls[1]
+        # left block edge
+        for y in range(bh4):
+            cls_v[by + y, bx] = min(txa[0][0][y][0], t.l.tx_lpf_y[(by + y) & 31]) + 1
+        # top block edge
+        for x in range(bw4):
+            cls_h[by, bx + x] = min(txa[1][0][0][x], ts.a.tx_lpf_y[bx + x]) + 1
+        if not b.skip:
+            # inner (tx) vertical edges
+            for y in range(bh4):
+                ltx = txa[0][0][y][0]
+                x = txa[0][1][y][0]
+                while x < bw4:
+                    rtx = txa[0][0][y][x]
+                    cls_v[by + y, bx + x] = min(rtx, ltx) + 1
+                    ltx = rtx
+                    x += txa[0][1][y][x]
+            # inner (tx) horizontal edges
+            for x in range(bw4):
+                ttx = txa[1][0][0][x]
+                y = txa[1][1][0][x]
+                while y < bh4:
+                    btx = txa[1][0][y][x]
+                    cls_h[by + y, bx + x] = min(ttx, btx) + 1
+                    ttx = btx
+                    y += txa[1][1][y][x]
+        for y in range(bh4):
+            t.l.tx_lpf_y[(by + y) & 31] = txa[0][0][y][bw4 - 1]
+        for x in range(bw4):
+            ts.a.tx_lpf_y[bx + x] = txa[1][0][bh4 - 1][x]
+
+    if not has_chroma:
+        return
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    cbw4 = min(
+        ((f.bw + ss_hor) >> ss_hor) - (bx >> ss_hor), (b_dim[0] + ss_hor) >> ss_hor
+    )
+    cbh4 = min(
+        ((f.bh + ss_ver) >> ss_ver) - (by >> ss_ver), (b_dim[1] + ss_ver) >> ss_ver
+    )
+    if cbw4 == 0 or cbh4 == 0:
+        return
+    cbx = bx >> ss_hor
+    cby = by >> ss_ver
+    f.lf_level[cby : cby + cbh4, cbx : cbx + cbw4, 2] = lvls[2][ref][idx]
+    f.lf_level[cby : cby + cbh4, cbx : cbx + cbw4, 3] = lvls[3][ref][idx]
+    record_chroma_edges(f, ts, t, uvtx, cbx, cby, cbw4, cbh4, bool(b.skip))
+
+
 def record_chroma_edges(f, ts, t, uvtx, cbx, cby, cbw4, cbh4, skip_inter):
     uv_t_dim = TXFM_DIMENSIONS[uvtx]
     twl4c = 1 if uv_t_dim.lw else 0

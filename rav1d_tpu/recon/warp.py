@@ -38,21 +38,29 @@ def _resolve_divisor_64(d: int):
     return _resolve_divisor_32(d)  # same formula; python ints are wide
 
 
+def _i16(v):
+    v &= 0xFFFF
+    return v - 0x10000 if v >= 0x8000 else v
+
+
 def get_shear_params(wm) -> bool:
     """Compute alpha/beta/gamma/delta; returns True if params are INVALID
-    (ref: src/warpmv.rs:51 rav1d_get_shear_params)."""
+    (ref: src/warpmv.rs:51 rav1d_get_shear_params). The stored shear params
+    wrap to i16 like the reference's `as i16` casts."""
     mat = wm.matrix
     if mat[2] <= 0:
         return True
-    alpha = _iclip_wmp(mat[2] - 0x10000)
-    beta = _iclip_wmp(mat[3])
+    alpha = _i16(_iclip_wmp(mat[2] - 0x10000))
+    beta = _i16(_iclip_wmp(mat[3]))
     shift, y = _resolve_divisor_32(abs(mat[2]))
     y = apply_sign(y, mat[2])
     v1 = mat[4] * 0x10000 * y
     rnd = (1 << shift) >> 1
-    gamma = _iclip_wmp(apply_sign((abs(v1) + rnd) >> shift, v1))
+    gamma = _i16(_iclip_wmp(apply_sign((abs(v1) + rnd) >> shift, v1)))
     v2 = mat[3] * mat[4] * y
-    delta = _iclip_wmp(mat[5] - apply_sign((abs(v2) + rnd) >> shift, v2) - 0x10000)
+    delta = _i16(
+        _iclip_wmp(mat[5] - apply_sign((abs(v2) + rnd) >> shift, v2) - 0x10000)
+    )
     wm.alpha, wm.beta, wm.gamma, wm.delta = alpha, beta, gamma, delta
     return (
         4 * abs(alpha) + 7 * abs(beta) >= 0x10000
@@ -146,3 +154,99 @@ def find_affine_int(pts, np_, bw4, bh4, mv_x, mv_y, wm, bx4, by4) -> bool:
         0x7FFFFF,
     )
     return False
+
+
+def derive_warpmv(rf, t, bw4, bh4, masks, mvx, mvy, wmp):
+    """decode.rs derive_warpmv: gather up to 8 neighbour samples flagged in
+    masks and least-squares-fit an affine model."""
+    from ..headers import WarpedMotionType
+    from ..tables.block_tables import BLOCK_DIMENSIONS
+
+    pts = [[[0, 0], [0, 0]] for _ in range(8)]
+    np_ = 0
+
+    def rp(i, j):
+        # row t.by + i (i may be negative within the ring-equivalent window)
+        return rf.r[t.by + i, j]
+
+    def bdim(rec):
+        return BLOCK_DIMENSIONS[int(rec["bs"])]
+
+    def add_sample(np_, dx, dy, sx, sy, rec):
+        d = bdim(rec)
+        pts[np_][0][0] = 16 * (2 * dx + sx * d[0]) - 8
+        pts[np_][0][1] = 16 * (2 * dy + sy * d[1]) - 8
+        pts[np_][1][0] = pts[np_][0][0] + int(rec["mv"][0][0])
+        pts[np_][1][1] = pts[np_][0][1] + int(rec["mv"][0][1])
+        return np_ + 1
+
+    def ctz(v):
+        return (v & -v).bit_length() - 1
+
+    if (masks[0] & 0xFFFFFFFF) == 1 and (masks[1] >> 32) == 0:
+        off = t.bx & (bdim(rp(-1, t.bx))[0] - 1)
+        np_ = add_sample(np_, -off, 0, 1, -1, rp(-1, t.bx))
+    else:
+        off = 0
+        xmask = masks[0] & 0xFFFFFFFF
+        while np_ < 8 and xmask:
+            tz = ctz(xmask)
+            off += tz
+            xmask >>= tz
+            np_ = add_sample(np_, off, 0, 1, -1, rp(-1, t.bx + off))
+            xmask &= ~1
+    if np_ < 8 and (masks[1] & 0xFFFFFFFF) == 1:
+        off = t.by & (bdim(rp(0, t.bx - 1))[1] - 1)
+        np_ = add_sample(np_, 0, -off, -1, 1, rp(-off, t.bx - 1))
+    else:
+        off = 0
+        ymask = masks[1] & 0xFFFFFFFF
+        while np_ < 8 and ymask:
+            tz = ctz(ymask)
+            off += tz
+            ymask >>= tz
+            np_ = add_sample(np_, 0, off, -1, 1, rp(off, t.bx - 1))
+            ymask &= ~1
+    if np_ < 8 and (masks[1] >> 32):
+        np_ = add_sample(np_, 0, 0, -1, -1, rp(-1, t.bx - 1))
+    if np_ < 8 and (masks[0] >> 32):
+        np_ = add_sample(np_, bw4, 0, 1, -1, rp(-1, t.bx + bw4))
+    assert 0 < np_ <= 8
+
+    # select samples by MV-difference threshold
+    mvd = [0] * 8
+    ret = 0
+    thresh = 4 * iclip(max(bw4, bh4), 4, 28)
+    for i in range(np_):
+        mvd[i] = abs(pts[i][1][0] - pts[i][0][0] - mvx) + abs(
+            pts[i][1][1] - pts[i][0][1] - mvy
+        )
+        if mvd[i] > thresh:
+            mvd[i] = -1
+        else:
+            ret += 1
+    if ret == 0:
+        ret = 1
+    else:
+        i = 0
+        j = np_ - 1
+        for _ in range(np_ - ret):
+            while mvd[i] != -1:
+                i += 1
+            while mvd[j] == -1:
+                j -= 1
+            assert i != j
+            if i > j:
+                break
+            mvd[i] = mvd[j]
+            pts[i] = [list(pts[j][0]), list(pts[j][1])]
+            i += 1
+            j -= 1
+
+    if not find_affine_int(pts, ret, bw4, bh4, mvx, mvy, wmp, t.bx, t.by) and not (
+        get_shear_params(wmp)
+    ):
+        wmp.type = WarpedMotionType.AFFINE
+    else:
+        wmp.type = WarpedMotionType.IDENTITY
+    return wmp

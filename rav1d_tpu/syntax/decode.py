@@ -9,7 +9,14 @@ from __future__ import annotations
 import numpy as np
 
 from ..entropy.msac import MsacContext
-from ..headers import FrameType, PixelLayout, TxfmMode, PRIMARY_REF_NONE
+from ..headers import (
+    FilterMode,
+    FrameType,
+    PixelLayout,
+    TxfmMode,
+    WarpedMotionType,
+    PRIMARY_REF_NONE,
+)
 from ..tables.block_tables import (
     AL_PART_CTX,
     BLOCK_DIMENSIONS,
@@ -23,14 +30,32 @@ from ..tables.block_tables import (
 )
 from ..tables.spec_data import DQ_TBL
 from . import intra_edge as ie
+from . import refmvs
 from .env import (
     BlockContext,
-    get_intra_ctx,
-    get_partition_ctx,
-    get_tx_ctx,
+    N_SWITCHABLE_FILTERS,
+    av1_get_bwd_ref_1_ctx,
+    av1_get_bwd_ref_ctx,
+    av1_get_fwd_ref_1_ctx,
+    av1_get_fwd_ref_2_ctx,
+    av1_get_fwd_ref_ctx,
+    av1_get_ref_ctx,
+    av1_get_uni_p1_ctx,
+    fix_mv_precision,
     gather_left_partition_prob,
     gather_top_partition_prob,
+    get_comp_ctx,
+    get_comp_dir_ctx,
+    get_drl_context,
+    get_filter_ctx,
+    get_gmv_2d,
+    get_intra_ctx,
+    get_jnt_comp_ctx,
+    get_mask_comp_ctx,
+    get_partition_ctx,
+    get_tx_ctx,
 )
+from ..recon.warp import derive_warpmv
 
 
 def get_cur_frame_segid_2d(bx, by, have_top, have_left, seg_map):
@@ -111,6 +136,7 @@ class TileState:
         self.cdf = f.in_cdf.clone()
         self.last_qidx = frame_hdr.quant.yac
         self.last_delta_lf = [0, 0, 0, 0]
+        self._have_hp = frame_hdr.hp
         # dq table: default frame-wide; per-sb local when delta-q in use
         self.dq = f.dq
         self.lflvl = f.lf_lvl  # frame-wide lf levels
@@ -142,6 +168,10 @@ class TaskContext:
         self.lf_mask = None
         self.tl_4x4_filter = 0
         self.frame_thread_pass = 0
+        self.rt = None  # RefMvsTile, set per tile-sbrow
+        from ..headers import WarpedMotionParams
+
+        self.warpmv = WarpedMotionParams()
 
 
 def init_quant_tables(seq_hdr, frame_hdr, qidx, dq):
@@ -451,9 +481,216 @@ def _read_pal_indices(t, ts, pal_idx, b, pl, w4, h4, bw4, bh4):
             pal_idx[y * stride : (y + 1) * stride] = src
 
 
+# BlockSize bit masks (tables.rs wedge_allowed_mask / interintra_allowed_mask):
+# 8x8..32x32 rectangular-ish sizes where wedge/interintra compound is legal.
+_WEDGE_SIZES = (BS_32x32, BS_32x16, BS_32x8, BS_16x32, BS_16x16, BS_16x8,
+                BS_8x32, BS_8x16, BS_8x8)
+WEDGE_ALLOWED_MASK = sum(1 << b for b in _WEDGE_SIZES)
+_II_SIZES = (BS_32x32, BS_32x16, BS_16x32, BS_16x16, BS_16x8, BS_8x16, BS_8x8)
+INTERINTRA_ALLOWED_MASK = sum(1 << b for b in _II_SIZES)
+WEDGE_CTX_LUT = [0, 0, 0, 0, 0, 0, 0, 6, 5, 8, 0, 4, 3, 2, 0, 7, 1, 0, 0, 0, 0, 0]
+
+# FILTER_2D[filter_v][filter_h] (tables.rs dav1d_filter_2d)
+FILTER_2D = [
+    [FILTER_2D_8TAP_REGULAR, FILTER_2D_8TAP_REGULAR_SMOOTH, FILTER_2D_8TAP_REGULAR_SHARP, FILTER_2D_8TAP_REGULAR],
+    [FILTER_2D_8TAP_SMOOTH_REGULAR, FILTER_2D_8TAP_SMOOTH, FILTER_2D_8TAP_SMOOTH_SHARP, FILTER_2D_8TAP_REGULAR],
+    [FILTER_2D_8TAP_SHARP_REGULAR, FILTER_2D_8TAP_SHARP_SMOOTH, FILTER_2D_8TAP_SHARP, FILTER_2D_8TAP_REGULAR],
+    [FILTER_2D_8TAP_REGULAR, FILTER_2D_8TAP_REGULAR, FILTER_2D_8TAP_REGULAR, FILTER_2D_BILINEAR],
+]
+
+
+def _i16(v):
+    v &= 0xFFFF
+    return v - 0x10000 if v >= 0x8000 else v
+
+
+def read_mv_component_diff(ts, mcdf, have_fp):
+    """src/decode.rs read_mv_component_diff."""
+    msac = ts.msac
+    have_hp = ts._have_hp
+    sign = msac.decode_bool_adapt(mcdf.sign)
+    cl = msac.decode_symbol_adapt(mcdf.classes, 10)
+    if cl == 0:
+        up = msac.decode_bool_adapt(mcdf.class0)
+        if have_fp:
+            fp = msac.decode_symbol_adapt(mcdf.class0_fp[up], 3)
+            hp = msac.decode_bool_adapt(mcdf.class0_hp) if have_hp else 1
+        else:
+            fp = 3
+            hp = 1
+    else:
+        up = 1 << cl
+        for n in range(cl):
+            up |= msac.decode_bool_adapt(mcdf.classN[n]) << n
+        if have_fp:
+            fp = msac.decode_symbol_adapt(mcdf.classN_fp, 3)
+            hp = msac.decode_bool_adapt(mcdf.classN_hp) if have_hp else 1
+        else:
+            fp = 3
+            hp = 1
+    diff = ((up << 3) | (fp << 1) | hp) + 1
+    return -diff if sign else diff
+
+
+def read_mv_residual(ts, refmv, mv_cdf, have_fp):
+    """src/decode.rs read_mv_residual. refmv: mutable [x, y] list.
+
+    Like the reference (and dav1d C), the joint symbol always uses
+    cdf.mv.joint, even when component cdfs come from cdf.dmv (intrabc)."""
+    jt = ts.msac.decode_symbol_adapt(ts.cdf.mv.joint, N_MV_JOINTS - 1)
+    if jt == MV_JOINT_HV:
+        refmv[1] = _i16(refmv[1] + read_mv_component_diff(ts, mv_cdf.comp[0], have_fp))
+        refmv[0] = _i16(refmv[0] + read_mv_component_diff(ts, mv_cdf.comp[1], have_fp))
+    elif jt == MV_JOINT_H:
+        refmv[0] = _i16(refmv[0] + read_mv_component_diff(ts, mv_cdf.comp[1], have_fp))
+    elif jt == MV_JOINT_V:
+        refmv[1] = _i16(refmv[1] + read_mv_component_diff(ts, mv_cdf.comp[0], have_fp))
+
+
+def read_vartx_tree(t, f, ts, b, bs, bx4, by4):
+    """src/decode.rs read_vartx_tree."""
+    b_dim = BLOCK_DIMENSIONS[bs]
+    bw4, bh4 = b_dim[0], b_dim[1]
+    tx_split = [0, 0]
+    b.max_ytx = MAX_TXFM_SIZE_FOR_BS[bs][0]
+    frame_hdr = f.frame_hdr
+    txfm_mode = frame_hdr.txfm_mode
+    if not b.skip and (
+        frame_hdr.segmentation.lossless[b.seg_id] or b.max_ytx == TX_4X4
+    ):
+        b.uvtx = TX_4X4
+        b.max_ytx = TX_4X4
+        if txfm_mode == TxfmMode.SWITCHABLE:
+            for i in range(bw4):
+                ts.a.tx[t.bx + i] = TX_4X4
+            for i in range(bh4):
+                t.l.tx[(by4 + i) & 31] = TX_4X4
+    elif txfm_mode != TxfmMode.SWITCHABLE or b.skip:
+        if txfm_mode == TxfmMode.SWITCHABLE:
+            for i in range(bw4):
+                ts.a.tx[t.bx + i] = b_dim[2]
+            for i in range(bh4):
+                t.l.tx[(by4 + i) & 31] = b_dim[3]
+        b.uvtx = MAX_TXFM_SIZE_FOR_BS[bs][int(f.cur.layout)]
+    else:
+        ytx = TXFM_DIMENSIONS[b.max_ytx]
+        for y_off in range(bh4 // ytx.h):
+            for x_off in range(bw4 // ytx.w):
+                read_tx_tree(t, f, ts, b.max_ytx, 0, tx_split, x_off, y_off)
+                t.bx += ytx.w
+            t.bx -= bw4
+            t.by += ytx.h
+        t.by -= bh4
+        trace(f"Post-vartxtree[{tx_split[0]:x}/{tx_split[1]:x}]: r={ts.msac.rng}")
+        b.uvtx = MAX_TXFM_SIZE_FOR_BS[bs][int(f.cur.layout)]
+    assert tx_split[0] & ~0x33 == 0
+    b.tx_split0 = tx_split[0]
+    b.tx_split1 = tx_split[1]
+
+
+def find_matching_ref(f, t, ts, intra_edge_flags, bw4, bh4, w4, h4,
+                      have_left, have_top, ref):
+    """src/decode.rs find_matching_ref. Returns masks [2] (64-bit ints)."""
+    rf = f.rf
+    masks = [0, 0]
+    count = 0
+    have_topleft = have_top and have_left
+    have_topright = (
+        max(bw4, bh4) < 32
+        and have_top
+        and t.bx + bw4 < ts.col_end
+        and (intra_edge_flags & ie.I444_TOP_HAS_RIGHT)
+    )
+
+    def rec(row, col):
+        r2 = rf.r[row, col]
+        return (
+            int(r2["ref"][0]),
+            int(r2["ref"][1]),
+            BLOCK_DIMENSIONS[int(r2["bs"])],
+        )
+
+    if have_top:
+        row = t.by - 1
+        col = t.bx
+        r0, r1, bd = rec(row, col)
+        if r0 == ref + 1 and r1 == -1:
+            masks[0] |= 1
+            count = 1
+        aw4 = bd[0]
+        if aw4 >= bw4:
+            off = t.bx & (aw4 - 1)
+            if off:
+                have_topleft = False
+            if aw4 - off > bw4:
+                have_topright = False
+        else:
+            mask = 1 << aw4
+            x = aw4
+            while x < w4:
+                col += aw4
+                r0, r1, bd = rec(row, col)
+                if r0 == ref + 1 and r1 == -1:
+                    masks[0] |= mask
+                    count += 1
+                    if count >= 8:
+                        return masks
+                aw4 = bd[0]
+                mask <<= aw4
+                x += aw4
+    if have_left:
+        row = t.by
+        col = t.bx - 1
+        r0, r1, bd = rec(row, col)
+        if r0 == ref + 1 and r1 == -1:
+            masks[1] |= 1
+            count += 1
+            if count >= 8:
+                return masks
+        lh4 = bd[1]
+        if lh4 >= bh4:
+            if t.by & (lh4 - 1):
+                have_topleft = False
+        else:
+            mask = 1 << lh4
+            y = lh4
+            while y < h4:
+                row += lh4
+                r0, r1, bd = rec(row, col)
+                if r0 == ref + 1 and r1 == -1:
+                    masks[1] |= mask
+                    count += 1
+                    if count >= 8:
+                        return masks
+                lh4 = bd[1]
+                mask <<= lh4
+                y += lh4
+    if have_topleft:
+        r0, r1, _ = rec(t.by - 1, t.bx - 1)
+        if r0 == ref + 1 and r1 == -1:
+            masks[1] |= 1 << 32
+            count += 1
+            if count >= 8:
+                return masks
+    if have_topright:
+        r0, r1, _ = rec(t.by - 1, t.bx + bw4)
+        if r0 == ref + 1 and r1 == -1:
+            masks[0] |= 1 << 32
+    return masks
+
+
+def _findoddzero(vals):
+    """decode.rs findoddzero: any zero at an odd index."""
+    for i in range(1, len(vals), 2):
+        if not vals[i]:
+            return True
+    return False
+
+
 def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
-    """Per-block decode, intra path (src/decode.rs:1159 decode_b_inner)."""
+    """Per-block decode (src/decode.rs:1159 decode_b_inner)."""
     from ..recon.intra import recon_b_intra
+    from ..recon.inter import recon_b_inter
 
     b = Av1Block()
     b_dim = BLOCK_DIMENSIONS[bs]
@@ -868,8 +1105,566 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
                 for i in range(bh4):
                     t.al_pal[1][by4 + i][1][:] = t.pal[1]
                     t.al_pal[1][by4 + i][2][:] = t.pal[2]
+        if frame_type.is_inter_or_switch or frame_hdr.allow_intrabc:
+            # splat_intraref (decode.rs:963)
+            refmvs.splat_mv(
+                f.rf, t.by, t.bx, bw4, bh4,
+                refmvs.INVALID_MV, (0, 0), 0, -1, bs, 0,
+            )
+    elif frame_type.is_key_or_intra:
+        # intra block copy (decode.rs:1989)
+        mvstack, n_mvs, _ctx = refmvs.refmvs_find(
+            t.rt, f.rf, (0, -1), bs, intra_edge_flags, t.by, t.bx, frame_hdr
+        )
+        if tuple(mvstack[0].mv[0]) != (0, 0):
+            b.mv[0] = list(mvstack[0].mv[0])
+        elif tuple(mvstack[1].mv[0]) != (0, 0):
+            b.mv[0] = list(mvstack[1].mv[0])
+        elif t.by - (16 << seq_hdr.sb128) < ts.row_start:
+            b.mv[0] = [-(512 << seq_hdr.sb128) - 2048, 0]
+        else:
+            b.mv[0] = [0, -(512 << seq_hdr.sb128)]
+
+        ref_mv = list(b.mv[0])
+        read_mv_residual(ts, b.mv[0], ts.cdf.dmv, False)
+
+        # clip intrabc mv to decoded parts of the current tile
+        border_left = ts.col_start * 4
+        border_top = ts.row_start * 4
+        if has_chroma:
+            if bw4 < 2 and ss_hor:
+                border_left += 4
+            if bh4 < 2 and ss_ver:
+                border_top += 4
+        src_left = t.bx * 4 + (b.mv[0][0] >> 3)
+        src_top = t.by * 4 + (b.mv[0][1] >> 3)
+        src_right = src_left + bw4 * 4
+        src_bottom = src_top + bh4 * 4
+        border_right = ((ts.col_end + (bw4 - 1)) & ~(bw4 - 1)) * 4
+
+        if src_left < border_left:
+            src_right += border_left - src_left
+            src_left = border_left
+        elif src_right > border_right:
+            src_left -= src_right - border_right
+            src_right = border_right
+        if src_top < border_top:
+            src_bottom += border_top - src_top
+            src_top = border_top
+
+        sbx = (t.bx >> (4 + seq_hdr.sb128)) << (6 + seq_hdr.sb128)
+        sby = (t.by >> (4 + seq_hdr.sb128)) << (6 + seq_hdr.sb128)
+        sb_size = 1 << (6 + seq_hdr.sb128)
+        if src_bottom > sby and src_right > sbx:
+            if src_top - border_top >= src_bottom - sby:
+                src_top -= src_bottom - sby
+                src_bottom = sby
+            elif src_left - border_left >= src_right - sbx:
+                src_left -= src_right - sbx
+                src_right = sbx
+        if src_bottom > sby + sb_size:
+            src_top -= src_bottom - (sby + sb_size)
+            src_bottom = sby + sb_size
+        if src_bottom > sby and src_right > sbx:
+            raise DecodeError("intrabc mv overlaps current superblock")
+
+        b.mv[0] = [(src_left - t.bx * 4) * 8, (src_top - t.by * 4) * 8]
+        trace(
+            f"Post-dmv[{b.mv[0][1]}/{b.mv[0][0]},ref={ref_mv[1]}/{ref_mv[0]}|"
+            f"{mvstack[0].mv[0][1]}/{mvstack[0].mv[0][0]}]: r={ts.msac.rng}"
+        )
+        read_vartx_tree(t, f, ts, b, bs, bx4, by4)
+        b.filter2d = FILTER_2D_BILINEAR
+        recon_b_inter(t, f, ts, bs, b)
+
+        # splat_intrabc_mv (decode.rs:919)
+        refmvs.splat_mv(
+            f.rf, t.by, t.bx, bw4, bh4, tuple(b.mv[0]), (0, 0), 0, -1, bs, 0
+        )
+
+        for i in range(bw4):
+            x = t.bx + i
+            ts.a.tx_intra[x] = b_dim[2]
+            ts.a.mode[x] = DC_PRED
+            ts.a.pal_sz[x] = 0
+            t.pal_sz_uv[0][x & 31] = 0
+            ts.a.seg_pred[x] = 1 if seg_pred else 0
+            ts.a.skip_mode[x] = 0
+            ts.a.intra[x] = 0
+            ts.a.skip[x] = b.skip
+        for i in range(bh4):
+            y = (by4 + i) & 31
+            t.l.tx_intra[y] = b_dim[3]
+            t.l.mode[y] = DC_PRED
+            t.l.pal_sz[y] = 0
+            t.pal_sz_uv[1][y] = 0
+            t.l.seg_pred[y] = 1 if seg_pred else 0
+            t.l.skip_mode[y] = 0
+            t.l.intra[y] = 0
+            t.l.skip[y] = b.skip
+        if has_chroma:
+            cbx_abs = t.bx >> ss_hor
+            for i in range(cbw4):
+                ts.a.uvmode[cbx_abs + i] = DC_PRED
+            for i in range(cbh4):
+                t.l.uvmode[(cby4 + i) & 31] = DC_PRED
     else:
-        raise NotImplementedError("inter blocks land in the next milestone")
+        # inter-specific mode/mv coding (decode.rs:2133)
+        has_subpel_filter = False
+
+        if b.skip_mode:
+            is_comp = True
+        elif (
+            (seg is None or (seg.ref == -1 and seg.globalmv == 0 and seg.skip == 0))
+            and frame_hdr.switchable_comp_refs
+            and min(bw4, bh4) > 1
+        ):
+            cctx = get_comp_ctx(ts.a, t.l, by4, t.bx, have_top, have_left)
+            is_comp = bool(msac.decode_bool_adapt(cdf.m.comp[cctx]))
+            trace(f"Post-compflag[{1 if is_comp else 0}]: r={msac.rng}")
+        else:
+            is_comp = False
+
+        if b.skip_mode:
+            b.ref = [frame_hdr.skip_mode.refs[0], frame_hdr.skip_mode.refs[1]]
+            b.comp_type = COMP_INTER_AVG
+            b.inter_mode = NEARESTMV_NEARESTMV
+            b.drl_idx = DRL_NEAREST
+            has_subpel_filter = False
+
+            mvstack, n_mvs, _ctx = refmvs.refmvs_find(
+                t.rt, f.rf, (b.ref[0] + 1, b.ref[1] + 1), bs, intra_edge_flags,
+                t.by, t.bx, frame_hdr,
+            )
+            b.mv[0] = list(mvstack[0].mv[0])
+            b.mv[1] = list(mvstack[0].mv[1])
+            b.mv[0] = list(fix_mv_precision(frame_hdr, b.mv[0][0], b.mv[0][1]))
+            b.mv[1] = list(fix_mv_precision(frame_hdr, b.mv[1][0], b.mv[1][1]))
+            trace(
+                f"Post-skipmodeblock[mv=1:y={b.mv[0][1]},x={b.mv[0][0]},"
+                f"2:y={b.mv[1][1]},x={b.mv[1][0]},refs={b.ref[0]}+{b.ref[1]}"
+            )
+        elif is_comp:
+            dir_ctx = get_comp_dir_ctx(ts.a, t.l, by4, t.bx, have_top, have_left)
+            if msac.decode_bool_adapt(cdf.m.comp_dir[dir_ctx]):
+                # bidir - first reference (fw)
+                ctx1 = av1_get_fwd_ref_ctx(ts.a, t.l, by4, t.bx, have_top, have_left)
+                if msac.decode_bool_adapt(cdf.m.comp_fwd_ref[0][ctx1]):
+                    ctx2 = av1_get_fwd_ref_2_ctx(
+                        ts.a, t.l, by4, t.bx, have_top, have_left
+                    )
+                    b.ref[0] = 2 + msac.decode_bool_adapt(cdf.m.comp_fwd_ref[2][ctx2])
+                else:
+                    ctx2 = av1_get_fwd_ref_1_ctx(
+                        ts.a, t.l, by4, t.bx, have_top, have_left
+                    )
+                    b.ref[0] = msac.decode_bool_adapt(cdf.m.comp_fwd_ref[1][ctx2])
+                # second reference (bw)
+                ctx3 = av1_get_bwd_ref_ctx(ts.a, t.l, by4, t.bx, have_top, have_left)
+                if msac.decode_bool_adapt(cdf.m.comp_bwd_ref[0][ctx3]):
+                    b.ref[1] = 6
+                else:
+                    ctx4 = av1_get_bwd_ref_1_ctx(
+                        ts.a, t.l, by4, t.bx, have_top, have_left
+                    )
+                    b.ref[1] = 4 + msac.decode_bool_adapt(cdf.m.comp_bwd_ref[1][ctx4])
+            else:
+                # unidir
+                uctx_p = av1_get_ref_ctx(ts.a, t.l, by4, t.bx, have_top, have_left)
+                if msac.decode_bool_adapt(cdf.m.comp_uni_ref[0][uctx_p]):
+                    b.ref = [4, 6]
+                else:
+                    uctx_p1 = av1_get_uni_p1_ctx(
+                        ts.a, t.l, by4, t.bx, have_top, have_left
+                    )
+                    b.ref = [0, 1 + msac.decode_bool_adapt(cdf.m.comp_uni_ref[1][uctx_p1])]
+                    if b.ref[1] == 2:
+                        uctx_p2 = av1_get_fwd_ref_2_ctx(
+                            ts.a, t.l, by4, t.bx, have_top, have_left
+                        )
+                        b.ref[1] += msac.decode_bool_adapt(cdf.m.comp_uni_ref[2][uctx_p2])
+            trace(f"Post-refs[{b.ref[0]}/{b.ref[1]}]: r={msac.rng}")
+
+            mvstack, n_mvs, mctx = refmvs.refmvs_find(
+                t.rt, f.rf, (b.ref[0] + 1, b.ref[1] + 1), bs, intra_edge_flags,
+                t.by, t.bx, frame_hdr,
+            )
+            b.inter_mode = msac.decode_symbol_adapt(
+                cdf.m.comp_inter_mode[mctx], N_COMP_INTER_PRED_MODES - 1
+            )
+            trace(
+                f"Post-compintermode[{b.inter_mode},ctx={mctx},n_mvs={n_mvs}]:"
+                f" r={msac.rng}"
+            )
+
+            im = COMP_INTER_PRED_MODES[b.inter_mode]
+            b.drl_idx = DRL_NEAREST
+            if b.inter_mode == NEWMV_NEWMV:
+                if n_mvs > 1:
+                    drl_ctx_v1 = get_drl_context(mvstack, 0)
+                    if msac.decode_bool_adapt(cdf.m.drl_bit[drl_ctx_v1]):
+                        b.drl_idx = DRL_NEARER
+                        if n_mvs > 2:
+                            drl_ctx_v2 = get_drl_context(mvstack, 1)
+                            if msac.decode_bool_adapt(cdf.m.drl_bit[drl_ctx_v2]):
+                                b.drl_idx = DRL_NEAR
+                    trace(
+                        f"Post-drlidx[{b.drl_idx},n_mvs={n_mvs}]: r={msac.rng}"
+                    )
+            elif im[0] == NEARMV or im[1] == NEARMV:
+                b.drl_idx = DRL_NEARER
+                if n_mvs > 2:
+                    drl_ctx_v2 = get_drl_context(mvstack, 1)
+                    if msac.decode_bool_adapt(cdf.m.drl_bit[drl_ctx_v2]):
+                        b.drl_idx = DRL_NEAR
+                        if n_mvs > 3:
+                            drl_ctx_v3 = get_drl_context(mvstack, 2)
+                            if msac.decode_bool_adapt(cdf.m.drl_bit[drl_ctx_v3]):
+                                b.drl_idx = DRL_NEARISH
+                    trace(
+                        f"Post-drlidx[{b.drl_idx},n_mvs={n_mvs}]: r={msac.rng}"
+                    )
+
+            has_subpel_filter = min(bw4, bh4) == 1 or b.inter_mode != GLOBALMV_GLOBALMV
+            for idx in range(2):
+                if im[idx] in (NEARMV, NEARESTMV):
+                    mv = list(mvstack[b.drl_idx].mv[idx])
+                    b.mv[idx] = list(fix_mv_precision(frame_hdr, mv[0], mv[1]))
+                elif im[idx] == GLOBALMV:
+                    has_subpel_filter |= (
+                        frame_hdr.gmv[b.ref[idx]].type == WarpedMotionType.TRANSLATION
+                    )
+                    b.mv[idx] = list(
+                        get_gmv_2d(frame_hdr.gmv[b.ref[idx]], t.bx, t.by, bw4, bh4, frame_hdr)
+                    )
+                elif im[idx] == NEWMV:
+                    b.mv[idx] = list(mvstack[b.drl_idx].mv[idx])
+                    read_mv_residual(
+                        ts, b.mv[idx], ts.cdf.mv, not frame_hdr.force_integer_mv
+                    )
+            trace(
+                f"Post-residual_mv[1:y={b.mv[0][1]},x={b.mv[0][0]},"
+                f"2:y={b.mv[1][1]},x={b.mv[1][0]}]: r={msac.rng}"
+            )
+
+            # jnt_comp vs. seg vs. wedge
+            is_segwedge = False
+            if seq_hdr.masked_compound:
+                mask_ctx = get_mask_comp_ctx(ts.a, t.l, by4, t.bx)
+                is_segwedge = bool(msac.decode_bool_adapt(cdf.m.mask_comp[mask_ctx]))
+                trace(
+                    f"Post-segwedge_vs_jntavg[{1 if is_segwedge else 0},"
+                    f"ctx={mask_ctx}]: r={msac.rng}"
+                )
+
+            if not is_segwedge:
+                if seq_hdr.jnt_comp:
+                    ref0poc = f.refp[b.ref[0]].frame_hdr.frame_offset
+                    ref1poc = f.refp[b.ref[1]].frame_hdr.frame_offset
+                    jnt_ctx = get_jnt_comp_ctx(
+                        seq_hdr.order_hint_n_bits,
+                        frame_hdr.frame_offset,
+                        ref0poc,
+                        ref1poc,
+                        ts.a,
+                        t.l,
+                        by4,
+                        t.bx,
+                    )
+                    b.comp_type = COMP_INTER_WEIGHTED_AVG + msac.decode_bool_adapt(
+                        cdf.m.jnt_comp[jnt_ctx]
+                    )
+                    trace(
+                        f"Post-jnt_comp[{1 if b.comp_type == COMP_INTER_AVG else 0},"
+                        f"ctx={jnt_ctx}[ac:{ts.a.comp_type[t.bx]},"
+                        f"ar:{ts.a.ref[0][t.bx]},lc:{t.l.comp_type[by4]},"
+                        f"lr:{t.l.ref[0][by4]}]]: r={msac.rng}"
+                    )
+                else:
+                    b.comp_type = COMP_INTER_AVG
+            else:
+                if WEDGE_ALLOWED_MASK & (1 << bs):
+                    wctx = WEDGE_CTX_LUT[bs]
+                    b.comp_type = COMP_INTER_WEDGE - msac.decode_bool_adapt(
+                        cdf.m.wedge_comp[wctx]
+                    )
+                    if b.comp_type == COMP_INTER_WEDGE:
+                        b.wedge_idx = msac.decode_symbol_adapt(cdf.m.wedge_idx[wctx], 15)
+                else:
+                    b.comp_type = COMP_INTER_SEG
+                b.mask_sign = msac.decode_bool_equi()
+                trace(
+                    f"Post-seg/wedge[{1 if b.comp_type == COMP_INTER_WEDGE else 0},"
+                    f"wedge_idx={b.wedge_idx},sign={b.mask_sign}]: r={msac.rng}"
+                )
+        else:
+            b.comp_type = COMP_INTER_NONE
+
+            # ref
+            if seg is not None and seg.ref > 0:
+                b.ref[0] = seg.ref - 1
+            elif seg is not None and (seg.globalmv or seg.skip):
+                b.ref[0] = 0
+            else:
+                ctx1 = av1_get_ref_ctx(ts.a, t.l, by4, t.bx, have_top, have_left)
+                if msac.decode_bool_adapt(cdf.m.ref[0][ctx1]):
+                    ctx2 = av1_get_bwd_ref_ctx(ts.a, t.l, by4, t.bx, have_top, have_left)
+                    if msac.decode_bool_adapt(cdf.m.ref[1][ctx2]):
+                        b.ref[0] = 6
+                    else:
+                        ctx3 = av1_get_bwd_ref_1_ctx(
+                            ts.a, t.l, by4, t.bx, have_top, have_left
+                        )
+                        b.ref[0] = 4 + msac.decode_bool_adapt(cdf.m.ref[5][ctx3])
+                else:
+                    ctx2 = av1_get_fwd_ref_ctx(ts.a, t.l, by4, t.bx, have_top, have_left)
+                    if msac.decode_bool_adapt(cdf.m.ref[2][ctx2]):
+                        ctx3 = av1_get_fwd_ref_2_ctx(
+                            ts.a, t.l, by4, t.bx, have_top, have_left
+                        )
+                        b.ref[0] = 2 + msac.decode_bool_adapt(cdf.m.ref[4][ctx3])
+                    else:
+                        ctx3 = av1_get_fwd_ref_1_ctx(
+                            ts.a, t.l, by4, t.bx, have_top, have_left
+                        )
+                        b.ref[0] = msac.decode_bool_adapt(cdf.m.ref[3][ctx3])
+                trace(f"Post-ref[{b.ref[0]}]: r={msac.rng}")
+            b.ref[1] = -1
+
+            mvstack, n_mvs, mctx = refmvs.refmvs_find(
+                t.rt, f.rf, (b.ref[0] + 1, -1), bs, intra_edge_flags,
+                t.by, t.bx, frame_hdr,
+            )
+
+            # mode parsing and mv derivation from ref_mvs
+            seg_skip_gmv = seg is not None and (seg.skip or seg.globalmv)
+            if seg_skip_gmv or msac.decode_bool_adapt(cdf.m.newmv_mode[mctx & 7]):
+                if seg_skip_gmv or not msac.decode_bool_adapt(
+                    cdf.m.globalmv_mode[(mctx >> 3) & 1]
+                ):
+                    b.inter_mode = GLOBALMV
+                    b.mv[0] = list(
+                        get_gmv_2d(frame_hdr.gmv[b.ref[0]], t.bx, t.by, bw4, bh4, frame_hdr)
+                    )
+                    has_subpel_filter = (
+                        min(bw4, bh4) == 1
+                        or frame_hdr.gmv[b.ref[0]].type == WarpedMotionType.TRANSLATION
+                    )
+                else:
+                    has_subpel_filter = True
+                    if msac.decode_bool_adapt(cdf.m.refmv_mode[(mctx >> 4) & 15]):
+                        b.inter_mode = NEARMV
+                        b.drl_idx = DRL_NEARER
+                        if n_mvs > 2:
+                            drl_ctx_v2 = get_drl_context(mvstack, 1)
+                            if msac.decode_bool_adapt(cdf.m.drl_bit[drl_ctx_v2]):
+                                b.drl_idx = DRL_NEAR
+                                if n_mvs > 3:
+                                    drl_ctx_v3 = get_drl_context(mvstack, 2)
+                                    if msac.decode_bool_adapt(cdf.m.drl_bit[drl_ctx_v3]):
+                                        b.drl_idx = DRL_NEARISH
+                    else:
+                        b.inter_mode = NEARESTMV
+                        b.drl_idx = DRL_NEAREST
+                    b.mv[0] = list(mvstack[b.drl_idx].mv[0])
+                    if b.drl_idx < DRL_NEAR:
+                        b.mv[0] = list(
+                            fix_mv_precision(frame_hdr, b.mv[0][0], b.mv[0][1])
+                        )
+                trace(
+                    f"Post-intermode[{b.inter_mode},drl={b.drl_idx},"
+                    f"mv=y:{b.mv[0][1]},x:{b.mv[0][0]},n_mvs={n_mvs}]: r={msac.rng}"
+                )
+            else:
+                has_subpel_filter = True
+                b.inter_mode = NEWMV
+                b.drl_idx = DRL_NEAREST
+                if n_mvs > 1:
+                    drl_ctx_v1 = get_drl_context(mvstack, 0)
+                    if msac.decode_bool_adapt(cdf.m.drl_bit[drl_ctx_v1]):
+                        b.drl_idx = DRL_NEARER
+                        if n_mvs > 2:
+                            drl_ctx_v2 = get_drl_context(mvstack, 1)
+                            if msac.decode_bool_adapt(cdf.m.drl_bit[drl_ctx_v2]):
+                                b.drl_idx = DRL_NEAR
+                if n_mvs > 1:
+                    b.mv[0] = list(mvstack[b.drl_idx].mv[0])
+                else:
+                    assert b.drl_idx == DRL_NEAREST
+                    mv = list(mvstack[0].mv[0])
+                    b.mv[0] = list(fix_mv_precision(frame_hdr, mv[0], mv[1]))
+                trace(f"Post-intermode[{b.inter_mode},drl={b.drl_idx}]: r={msac.rng}")
+                read_mv_residual(
+                    ts, b.mv[0], ts.cdf.mv, not frame_hdr.force_integer_mv
+                )
+                trace(
+                    f"Post-residualmv[mv=y:{b.mv[0][1]},x:{b.mv[0][0]}]: r={msac.rng}"
+                )
+
+            # interintra flags
+            ii_sz_grp = YMODE_SIZE_CONTEXT[bs]
+            if (
+                seq_hdr.inter_intra
+                and INTERINTRA_ALLOWED_MASK & (1 << bs)
+                and msac.decode_bool_adapt(cdf.m.interintra[ii_sz_grp])
+            ):
+                b.interintra_mode = msac.decode_symbol_adapt(
+                    cdf.m.interintra_mode[ii_sz_grp], 3
+                )
+                wedge_ctx = WEDGE_CTX_LUT[bs]
+                b.interintra_type = INTER_INTRA_BLEND + msac.decode_bool_adapt(
+                    cdf.m.interintra_wedge[wedge_ctx]
+                )
+                if b.interintra_type == INTER_INTRA_WEDGE:
+                    b.wedge_idx = msac.decode_symbol_adapt(cdf.m.wedge_idx[wedge_ctx], 15)
+            else:
+                b.interintra_type = INTER_INTRA_NONE
+            if seq_hdr.inter_intra and INTERINTRA_ALLOWED_MASK & (1 << bs):
+                trace(
+                    f"Post-interintra[t={b.interintra_type},m={b.interintra_mode},"
+                    f"w={b.wedge_idx}]: r={msac.rng}"
+                )
+
+            # motion variation
+            if (
+                frame_hdr.switchable_motion_mode
+                and b.interintra_type == INTER_INTRA_NONE
+                and min(bw4, bh4) >= 2
+                and not (
+                    not frame_hdr.force_integer_mv
+                    and b.inter_mode == GLOBALMV
+                    and frame_hdr.gmv[b.ref[0]].type > WarpedMotionType.TRANSLATION
+                )
+                and (
+                    (have_left and _findoddzero([t.l.intra[(by4 + i) & 31] for i in range(h4)]))
+                    or (have_top and _findoddzero([ts.a.intra[t.bx + i] for i in range(w4)]))
+                )
+            ):
+                masks = find_matching_ref(
+                    f, t, ts, intra_edge_flags, bw4, bh4, w4, h4,
+                    have_left, have_top, b.ref[0],
+                )
+                allow_warp = (
+                    f.svc[b.ref[0]][0]["scale"] == 0
+                    and not frame_hdr.force_integer_mv
+                    and frame_hdr.warp_motion
+                    and (masks[0] | masks[1])
+                )
+                if allow_warp:
+                    b.motion_mode = msac.decode_symbol_adapt(cdf.m.motion_mode[bs], 2)
+                else:
+                    b.motion_mode = msac.decode_bool_adapt(cdf.m.obmc[bs])
+                if b.motion_mode == MM_WARP:
+                    has_subpel_filter = False
+                    derive_warpmv(
+                        f.rf, t, bw4, bh4, masks, b.mv[0][0], b.mv[0][1], t.warpmv
+                    )
+                    if t.warpmv.type == WarpedMotionType.AFFINE:
+                        b.matrix = [
+                            t.warpmv.matrix[2] - 0x10000,
+                            t.warpmv.matrix[3],
+                            t.warpmv.matrix[4],
+                            t.warpmv.matrix[5] - 0x10000,
+                        ]
+                    else:
+                        b.matrix = [-32768, 0, 0, 0]
+                trace(
+                    f"Post-motionmode[{b.motion_mode}]: r={msac.rng}"
+                    f" [mask: 0x{masks[0]:x}/0x{masks[1]:x}]"
+                )
+            else:
+                b.motion_mode = MM_TRANSLATION
+
+        # subpel filter
+        if frame_hdr.subpel_filter_mode == FilterMode.SWITCHABLE:
+            if has_subpel_filter:
+                comp = b.comp_type != COMP_INTER_NONE
+                ctx1 = get_filter_ctx(ts.a, t.l, comp, False, b.ref[0], by4, t.bx)
+                filter0 = msac.decode_symbol_adapt(
+                    cdf.m.filter[0][ctx1], N_SWITCHABLE_FILTERS - 1
+                )
+                if seq_hdr.dual_filter:
+                    ctx2 = get_filter_ctx(ts.a, t.l, comp, True, b.ref[0], by4, t.bx)
+                    trace(f"Post-subpel_filter1[{filter0},ctx={ctx1}]: r={msac.rng}")
+                    filter1 = msac.decode_symbol_adapt(
+                        cdf.m.filter[1][ctx2], N_SWITCHABLE_FILTERS - 1
+                    )
+                    trace(f"Post-subpel_filter2[{filter1},ctx={ctx2}]: r={msac.rng}")
+                    filter_ = [filter0, filter1]
+                else:
+                    trace(f"Post-subpel_filter[{filter0},ctx={ctx1}]: r={msac.rng}")
+                    filter_ = [filter0, filter0]
+            else:
+                filter_ = [FilterMode.REGULAR_8TAP, FilterMode.REGULAR_8TAP]
+        else:
+            filter_ = [int(frame_hdr.subpel_filter_mode)] * 2
+        b.filter2d = FILTER_2D[filter_[1]][filter_[0]]
+
+        read_vartx_tree(t, f, ts, b, bs, bx4, by4)
+        recon_b_inter(t, f, ts, bs, b)
+
+        if frame_hdr.loopfilter.level_y != [0, 0]:
+            from ..recon.lf import record_lf_inter
+
+            record_lf_inter(f, ts, t, b, bs, is_comp, has_chroma)
+
+        # context updates (splat_{one,two}ref_mv, decode.rs:892/941)
+        if is_comp:
+            mode = b.inter_mode
+            mf = (1 if mode == GLOBALMV_GLOBALMV else 0) | (
+                2 if ((1 << mode) & 0xBC) else 0
+            )
+            refmvs.splat_mv(
+                f.rf, t.by, t.bx, bw4, bh4, tuple(b.mv[0]), tuple(b.mv[1]),
+                b.ref[0] + 1, b.ref[1] + 1, bs, mf,
+            )
+        else:
+            mode = b.inter_mode
+            mf = (1 if (mode == GLOBALMV and min(bw4, bh4) >= 2) else 0) | (
+                2 if mode == NEWMV else 0
+            )
+            ref1 = 0 if b.interintra_type != INTER_INTRA_NONE else -1
+            refmvs.splat_mv(
+                f.rf, t.by, t.bx, bw4, bh4, tuple(b.mv[0]), (0, 0),
+                b.ref[0] + 1, ref1, bs, mf,
+            )
+
+        for i in range(bw4):
+            x = t.bx + i
+            ts.a.seg_pred[x] = 1 if seg_pred else 0
+            ts.a.skip_mode[x] = b.skip_mode
+            ts.a.intra[x] = 0
+            ts.a.skip[x] = b.skip
+            ts.a.pal_sz[x] = 0
+            t.pal_sz_uv[0][x & 31] = 0
+            ts.a.tx_intra[x] = b_dim[2]
+            ts.a.comp_type[x] = b.comp_type
+            ts.a.filter[0][x] = filter_[0]
+            ts.a.filter[1][x] = filter_[1]
+            ts.a.mode[x] = b.inter_mode
+            ts.a.ref[0][x] = b.ref[0]
+            ts.a.ref[1][x] = b.ref[1]
+        for i in range(bh4):
+            y = (by4 + i) & 31
+            t.l.seg_pred[y] = 1 if seg_pred else 0
+            t.l.skip_mode[y] = b.skip_mode
+            t.l.intra[y] = 0
+            t.l.skip[y] = b.skip
+            t.l.pal_sz[y] = 0
+            t.pal_sz_uv[1][y] = 0
+            t.l.tx_intra[y] = b_dim[3]
+            t.l.comp_type[y] = b.comp_type
+            t.l.filter[0][y] = filter_[0]
+            t.l.filter[1][y] = filter_[1]
+            t.l.mode[y] = b.inter_mode
+            t.l.ref[0][y] = b.ref[0]
+            t.l.ref[1][y] = b.ref[1]
+        if has_chroma:
+            cbx_abs = t.bx >> ss_hor
+            for i in range(cbw4):
+                ts.a.uvmode[cbx_abs + i] = DC_PRED
+            for i in range(cbh4):
+                t.l.uvmode[(cby4 + i) & 31] = DC_PRED
 
     # update segmap
     if frame_hdr.segmentation.enabled and frame_hdr.segmentation.update_map:
@@ -1156,7 +1951,12 @@ def decode_tile_sbrow(t, f, ts, sby):
     tile_row = ts.tile_row
 
     t.by = sby << f.sb_shift
-    reset_context(t.l, not f.frame_hdr.frame_type.is_inter_or_switch, 0)
+    frame_hdr = f.frame_hdr
+    if frame_hdr.frame_type.is_inter_or_switch or frame_hdr.allow_intrabc:
+        t.rt = refmvs.RefMvsTile(
+            f.rf, ts.col_start, ts.col_end, ts.row_start, ts.row_end
+        )
+    reset_context(t.l, not frame_hdr.frame_type.is_inter_or_switch, 0)
     edge_root = root(bool(sb128))
 
     t.bx = ts.col_start
