@@ -268,6 +268,42 @@ class Decoder:
                     and f.svc[i][0]["scale"] == 0
                 )
 
+        # jnt_comp weights (decode.rs:4362 setup)
+        f.jnt_weights = [[0] * 7 for _ in range(7)]
+        if frame_hdr.frame_type.is_inter_or_switch and frame_hdr.switchable_comp_refs:
+            from .syntax.env import get_poc_diff
+
+            quant_dist_weight = [[2, 3], [2, 5], [2, 7]]
+            quant_dist_lookup_table = [[9, 7], [11, 5], [12, 4], [13, 3]]
+            ref_pocs = [f.refp[i].frame_hdr.frame_offset for i in range(7)]
+            for i in range(7):
+                for j in range(i + 1, 7):
+                    d = [
+                        min(
+                            abs(
+                                get_poc_diff(
+                                    seq_hdr.order_hint_n_bits,
+                                    ref_pocs[ij],
+                                    frame_hdr.frame_offset,
+                                )
+                            ),
+                            31,
+                        )
+                        for ij in (j, i)
+                    ]
+                    order = d[0] <= d[1]
+                    k = len(quant_dist_weight)
+                    for kk, weight in enumerate(quant_dist_weight):
+                        c0 = weight[1 if order else 0]
+                        c1 = weight[0 if order else 1]
+                        dc0, dc1 = d[0] * c0, d[1] * c1
+                        if (not order and dc0 < dc1) or (order and dc0 > dc1):
+                            k = kk
+                            break
+                    f.jnt_weights[i][j] = quant_dist_lookup_table[k][
+                        1 if order else 0
+                    ]
+
         # entropy state: inherit CDFs from primary ref or reset from qindex
         if frame_hdr.primary_ref_frame == PRIMARY_REF_NONE:
             f.in_cdf = CdfContext.from_qindex(frame_hdr.quant.yac)

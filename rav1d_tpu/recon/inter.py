@@ -1,11 +1,689 @@
-"""Inter block reconstruction (parity: src/recon.rs rav1d_recon_b_inter).
+"""Inter block reconstruction (parity: src/recon.rs rav1d_recon_b_inter:3162,
+mc:2025, obmc:2205, warp_affine:2311, read_coef_tree).
 
-Placeholder module: filled in with the MC pipeline (mc/avg/masks/warp/obmc)
-in the inter-recon milestone.
+numpy reference plane; the compound intermediates ("prep"/dst16 buffers)
+are int32 arrays carrying the reference's i16 values.
 """
 
 from __future__ import annotations
 
+import numpy as np
+
+from ..headers import PixelLayout, WarpedMotionType
+from ..syntax.levels import *  # noqa: F403
+from ..tables.block_tables import BLOCK_DIMENSIONS, TXFM_DIMENSIONS
+from ..tables.wedge import II_MASKS, WEDGE_MASKS
+from ..ops.ref import mc as M
+from ..ops.ref.itx import inv_txfm_add
+from .coefs import decode_coefs
+
+
+def _plane(pic, pl):
+    return (pic.y, pic.u, pic.v)[pl]
+
+
+def mc(f, t, dst, dst_y, dst_x, bw4, bh4, bx, by, pl, mv, refp, refidx,
+       filter2d, prep=False):
+    """recon.rs mc:2025. If prep, returns an int32 (h, w) intermediate;
+    else writes pixels into dst at (dst_y, dst_x)."""
+    layout = f.cur.layout
+    ss_ver = 1 if (pl and layout == PixelLayout.I420) else 0
+    ss_hor = 1 if (pl and layout != PixelLayout.I444) else 0
+    h_mul = 4 >> ss_hor
+    v_mul = 4 >> ss_ver
+    mvx, mvy = mv[0], mv[1]
+    mx = mvx & (15 >> (0 if ss_hor else 1))
+    my = mvy & (15 >> (0 if ss_ver else 1))
+    bpc = f.cur.bpc
+    plane = _plane(refp, pl)
+    bw_px = bw4 * h_mul
+    bh_px = bh4 * v_mul
+
+    if refp.w == f.cur.w and refp.h == f.cur.h:
+        dx = bx * h_mul + (mvx >> (3 + ss_hor))
+        dy = by * v_mul + (mvy >> (3 + ss_ver))
+        if refp is not f.cur:
+            w = (f.cur.w + ss_hor) >> ss_hor
+            h = (f.cur.h + ss_ver) >> ss_ver
+        else:
+            w = (f.bw * 4) >> ss_hor
+            h = (f.bh * 4) >> ss_ver
+        mx3 = 3 if mx else 0
+        my3 = 3 if my else 0
+        if (
+            dx < mx3
+            or dy < my3
+            or dx + bw_px + (4 if mx else 0) > w
+            or dy + bh_px + (4 if my else 0) > h
+        ):
+            src = M.emu_edge(
+                bw_px + (7 if mx else 0), bh_px + (7 if my else 0),
+                w, h, dx - mx3, dy - my3, plane,
+            )
+            sy, sx = my3, mx3
+        else:
+            src, sy, sx = plane, dy, dx
+        fmx = mx << (0 if ss_hor else 1)
+        fmy = my << (0 if ss_ver else 1)
+        if prep:
+            if filter2d == FILTER_2D_BILINEAR:
+                return M.prep_bilin(src, sy, sx, bw_px, bh_px, fmx, fmy, bpc)
+            return M.prep_8tap(src, sy, sx, bw_px, bh_px, fmx, fmy, filter2d, bpc)
+        if filter2d == FILTER_2D_BILINEAR:
+            M.put_bilin(dst, dst_y, dst_x, src, sy, sx, bw_px, bh_px, fmx, fmy, bpc)
+        else:
+            M.put_8tap(
+                dst, dst_y, dst_x, src, sy, sx, bw_px, bh_px, fmx, fmy, filter2d, bpc
+            )
+        return None
+    else:
+        # scaled reference (recon.rs mc scaled branch)
+        def apply_sign64(v, s):
+            return -v if s < 0 else v
+
+        scale_x = f.svc[refidx][0]["scale"]
+        scale_y = f.svc[refidx][1]["scale"]
+        step_x = f.svc[refidx][0]["step"]
+        step_y = f.svc[refidx][1]["step"]
+        orig_pos_y = (by * v_mul << 4) + mvy * (2 >> ss_ver)
+        orig_pos_x = (bx * h_mul << 4) + mvx * (2 >> ss_hor)
+        tmp = orig_pos_x * scale_x + (scale_x - 0x4000) * 8
+        pos_x = apply_sign64((abs(tmp) + 128) >> 8, tmp) + 32
+        tmp = orig_pos_y * scale_y + (scale_y - 0x4000) * 8
+        pos_y = apply_sign64((abs(tmp) + 128) >> 8, tmp) + 32
+        left = pos_x >> 10
+        top = pos_y >> 10
+        right = ((pos_x + (bw_px - 1) * step_x) >> 10) + 1
+        bottom = ((pos_y + (bh_px - 1) * step_y) >> 10) + 1
+        w = (refp.w + ss_hor) >> ss_hor
+        h = (refp.h + ss_ver) >> ss_ver
+        if left < 3 or top < 3 or right + 4 > w or bottom + 4 > h:
+            src = M.emu_edge(
+                right - left + 7, bottom - top + 7, w, h, left - 3, top - 3, plane
+            )
+            sy, sx = 3, 3
+        else:
+            src, sy, sx = plane, top, left
+        pmx = pos_x & 0x3FF
+        pmy = pos_y & 0x3FF
+        if prep:
+            if filter2d == FILTER_2D_BILINEAR:
+                return M.prep_bilin_scaled(
+                    src, sy, sx, bw_px, bh_px, pmx, pmy, step_x, step_y, bpc
+                )
+            return M.prep_8tap_scaled(
+                src, sy, sx, bw_px, bh_px, pmx, pmy, step_x, step_y, filter2d, bpc
+            )
+        if filter2d == FILTER_2D_BILINEAR:
+            M.put_bilin_scaled(
+                dst, dst_y, dst_x, src, sy, sx, bw_px, bh_px, pmx, pmy,
+                step_x, step_y, bpc,
+            )
+        else:
+            M.put_8tap_scaled(
+                dst, dst_y, dst_x, src, sy, sx, bw_px, bh_px, pmx, pmy,
+                step_x, step_y, filter2d, bpc,
+            )
+        return None
+
+
+def _filter2d_of(fdir0, fdir1):
+    """tables.rs dav1d_filter_2d[vert][horiz] lookup for neighbour filters."""
+    from ..syntax.decode import FILTER_2D
+
+    return FILTER_2D[fdir1][fdir0]
+
+
+def obmc(f, t, ts, dst, dst_y, dst_x, b_dim, pl, bx4, by4, w4, h4):
+    """recon.rs obmc:2205: overlapped block MC from top/left neighbours."""
+    assert t.bx & 1 == 0 and t.by & 1 == 0
+    layout = f.cur.layout
+    ss_ver = 1 if (pl and layout == PixelLayout.I420) else 0
+    ss_hor = 1 if (pl and layout != PixelLayout.I444) else 0
+    h_mul = 4 >> ss_hor
+    v_mul = 4 >> ss_ver
+    rf = f.rf
+
+    if t.by > ts.row_start and (pl == 0 or b_dim[0] * h_mul + b_dim[1] * v_mul >= 16):
+        i = 0
+        x = 0
+        while x < w4 and i < min(b_dim[2], 4):
+            a_r = rf.r[t.by - 1, t.bx + x + 1]
+            a_b_dim = BLOCK_DIMENSIONS[int(a_r["bs"])]
+            step4 = min(max(a_b_dim[0], 2), 16)
+            if int(a_r["ref"][0]) > 0:
+                ow4 = min(step4, b_dim[0])
+                oh4 = (min(b_dim[1], 16)) >> 1
+                lap = np.zeros((((oh4 * 3 + 3) >> 2) * v_mul, ow4 * h_mul),
+                               dtype=dst.dtype)
+                f2d = _filter2d_of(
+                    ts.a.filter[0][t.bx + x + 1], ts.a.filter[1][t.bx + x + 1]
+                )
+                mc(
+                    f, t, lap, 0, 0, ow4, (oh4 * 3 + 3) >> 2, t.bx + x, t.by, pl,
+                    (int(a_r["mv"][0][0]), int(a_r["mv"][0][1])),
+                    f.refp[int(a_r["ref"][0]) - 1], int(a_r["ref"][0]) - 1, f2d,
+                )
+                M.blend_h(dst, dst_y, dst_x + x * h_mul, lap, h_mul * ow4, v_mul * oh4)
+                i += 1
+            x += step4
+    if t.bx > ts.col_start:
+        i = 0
+        y = 0
+        while y < h4 and i < min(b_dim[3], 4):
+            l_r = rf.r[t.by + y + 1, t.bx - 1]
+            l_b_dim = BLOCK_DIMENSIONS[int(l_r["bs"])]
+            step4 = min(max(l_b_dim[1], 2), 16)
+            if int(l_r["ref"][0]) > 0:
+                ow4 = min(b_dim[0], 16) >> 1
+                oh4 = min(step4, b_dim[1])
+                lap = np.zeros((oh4 * v_mul, ow4 * h_mul), dtype=dst.dtype)
+                f2d = _filter2d_of(
+                    t.l.filter[0][(by4 + y + 1) & 31], t.l.filter[1][(by4 + y + 1) & 31]
+                )
+                mc(
+                    f, t, lap, 0, 0, ow4, oh4, t.bx, t.by + y, pl,
+                    (int(l_r["mv"][0][0]), int(l_r["mv"][0][1])),
+                    f.refp[int(l_r["ref"][0]) - 1], int(l_r["ref"][0]) - 1, f2d,
+                )
+                M.blend_v(dst, dst_y + y * v_mul, dst_x, lap, h_mul * ow4, v_mul * oh4)
+                i += 1
+            y += step4
+    return None
+
+
+def warp_affine(f, t, dst, dst_y, dst_x, prep_out, b_dim, pl, refp, wmp):
+    """recon.rs warp_affine:2311. Writes pixels (dst) or prep (prep_out)."""
+    layout = f.cur.layout
+    ss_ver = 1 if (pl and layout == PixelLayout.I420) else 0
+    ss_hor = 1 if (pl and layout != PixelLayout.I444) else 0
+    h_mul = 4 >> ss_hor
+    v_mul = 4 >> ss_ver
+    assert (b_dim[0] * h_mul) & 7 == 0 and (b_dim[1] * v_mul) & 7 == 0
+    mat = wmp.matrix
+    abcd = (wmp.alpha, wmp.beta, wmp.gamma, wmp.delta)
+    width = (refp.w + ss_hor) >> ss_hor
+    height = (refp.h + ss_ver) >> ss_ver
+    plane = _plane(refp, pl)
+    bpc = f.cur.bpc
+
+    for y in range(0, b_dim[1] * v_mul, 8):
+        src_y = t.by * 4 + ((y + 4) << ss_ver)
+        mat3_y = mat[3] * src_y + mat[0]
+        mat5_y = mat[5] * src_y + mat[1]
+        for x in range(0, b_dim[0] * h_mul, 8):
+            src_x = t.bx * 4 + ((x + 4) << ss_hor)
+            mvx = (mat[2] * src_x + mat3_y) >> ss_hor
+            mvy = (mat[4] * src_x + mat5_y) >> ss_ver
+            dx = (mvx >> 16) - 4
+            mx = ((mvx & 0xFFFF) - wmp.alpha * 4 - wmp.beta * 7) & ~0x3F
+            dy = (mvy >> 16) - 4
+            my = ((mvy & 0xFFFF) - wmp.gamma * 4 - wmp.delta * 4) & ~0x3F
+            if dx < 3 or dx + 8 + 4 > width or dy < 3 or dy + 8 + 4 > height:
+                src = M.emu_edge(15, 15, width, height, dx - 3, dy - 3, plane)
+                sy, sx = 3, 3
+            else:
+                src, sy, sx = plane, dy, dx
+            if prep_out is not None:
+                M.warp_affine_8x8t(prep_out, y, x, src, sy, sx, abcd, mx, my, bpc)
+            else:
+                M.warp_affine_8x8(
+                    dst, dst_y + y, dst_x + x, src, sy, sx, abcd, mx, my, bpc
+                )
+
+
+def read_coef_tree(t, f, ts, bs, b, ytx, depth, tx_split, x_off, y_off, dst,
+                   dst_y, dst_x):
+    """recon.rs read_coef_tree: var-tx recursive coefficient decode + itx."""
+    from ..syntax.decode import trace
+
+    t_dim = TXFM_DIMENSIONS[ytx]
+    txw, txh = t_dim.w, t_dim.h
+    if (
+        depth < 2
+        and tx_split[depth]
+        and tx_split[depth] & (1 << (y_off * 4 + x_off))
+    ):
+        sub = t_dim.sub
+        sub_t_dim = TXFM_DIMENSIONS[sub]
+        txsw, txsh = sub_t_dim.w, sub_t_dim.h
+        read_coef_tree(
+            t, f, ts, bs, b, sub, depth + 1, tx_split, x_off * 2, y_off * 2,
+            dst, dst_y, dst_x,
+        )
+        t.bx += txsw
+        if txw >= txh and t.bx < f.bw:
+            read_coef_tree(
+                t, f, ts, bs, b, sub, depth + 1, tx_split, x_off * 2 + 1,
+                y_off * 2, dst, dst_y, dst_x + 4 * txsw,
+            )
+        t.bx -= txsw
+        t.by += txsh
+        if txh >= txw and t.by < f.bh:
+            read_coef_tree(
+                t, f, ts, bs, b, sub, depth + 1, tx_split, x_off * 2,
+                y_off * 2 + 1, dst, dst_y + 4 * txsh, dst_x,
+            )
+            t.bx += txsw
+            if txw >= txh and t.bx < f.bw:
+                read_coef_tree(
+                    t, f, ts, bs, b, sub, depth + 1, tx_split, x_off * 2 + 1,
+                    y_off * 2 + 1, dst, dst_y + 4 * txsh, dst_x + 4 * txsw,
+                )
+            t.bx -= txsw
+        t.by -= txsh
+    else:
+        bx4 = t.bx & 31
+        by4 = t.by & 31
+        cf = t.cf
+        cf[: min(t_dim.w, 8) * min(t_dim.h, 8) * 16] = 0
+        eob, txtp, cf_ctx = decode_coefs(
+            f, ts, ts.a.lcoef, t.l.lcoef, t.bx, by4, ytx, bs, b, 0, 0, cf
+        )
+        trace(f"Post-y-cf-blk[tx={ytx},txtp={txtp},eob={eob}]: r={ts.msac.rng}")
+        for i in range(min(txh, f.bh - t.by)):
+            t.l.lcoef[(by4 + i) & 31] = cf_ctx
+        for i in range(min(txw, f.bw - t.bx)):
+            ts.a.lcoef[t.bx + i] = cf_ctx
+        t.txtp_map[by4 : by4 + txh, bx4 : bx4 + txw] = txtp
+        if eob >= 0:
+            inv_txfm_add(
+                dst[dst_y : dst_y + 4 * txh, dst_x : dst_x + 4 * txw],
+                cf, eob, txw * 4, txh * 4, txtp, f.cur.bpc,
+            )
+
 
 def recon_b_inter(t, f, ts, bs, b):
-    raise NotImplementedError("recon_b_inter: inter recon pipeline")
+    """recon.rs rav1d_recon_b_inter:3162."""
+    from ..syntax.decode import trace
+    from ..syntax.env import get_uv_inter_txtp
+    from .intra import _IPRED_FNS
+    from .ipred_prepare import EDGE_OFF, prepare_intra_edges
+
+    bx4 = t.bx & 31
+    by4 = t.by & 31
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    cbx4 = bx4 >> ss_hor
+    cby4 = by4 >> ss_ver
+    b_dim = BLOCK_DIMENSIONS[bs]
+    bw4, bh4 = b_dim[0], b_dim[1]
+    w4 = min(bw4, f.bw - t.bx)
+    h4 = min(bh4, f.bh - t.by)
+    has_chroma = (
+        layout != PixelLayout.I400
+        and (bw4 > ss_hor or t.bx & 1)
+        and (bh4 > ss_ver or t.by & 1)
+    )
+    if layout == PixelLayout.I400:
+        chr_layout_idx = 0
+    else:
+        chr_layout_idx = int(PixelLayout.I444) - int(layout)
+    cbh4 = (bh4 + ss_ver) >> ss_ver
+    cbw4 = (bw4 + ss_hor) >> ss_hor
+    frame_hdr = f.frame_hdr
+    bpc = f.cur.bpc
+    ypl = f.cur.y
+    dsty, dstx = 4 * t.by, 4 * t.bx
+    cdsty, cdstx = 4 * (t.by >> ss_ver), 4 * (t.bx >> ss_hor)
+
+    if frame_hdr.frame_type.is_key_or_intra:
+        # intra block copy
+        assert not frame_hdr.super_res
+        mc(
+            f, t, ypl, dsty, dstx, bw4, bh4, t.bx, t.by, 0,
+            tuple(b.mv[0]), f.sr_cur, 0, FILTER_2D_BILINEAR,
+        )
+        if has_chroma:
+            for pl in (1, 2):
+                mc(
+                    f, t, _plane(f.cur, pl), cdsty, cdstx,
+                    bw4 << (1 if bw4 == ss_hor else 0),
+                    bh4 << (1 if bh4 == ss_ver else 0),
+                    t.bx & ~ss_hor, t.by & ~ss_ver, pl,
+                    tuple(b.mv[0]), f.sr_cur, 0, FILTER_2D_BILINEAR,
+                )
+    elif b.comp_type != COMP_INTER_NONE:
+        filter2d = b.filter2d
+        tmp = [None, None]
+        jnt_weight = 0
+        seg_mask = None
+        for i in range(2):
+            refp = f.refp[b.ref[i]]
+            if b.inter_mode == GLOBALMV_GLOBALMV and f.gmv_warp_allowed[b.ref[i]]:
+                tmp[i] = np.zeros((bh4 * 4, bw4 * 4), dtype=np.int32)
+                warp_affine(
+                    f, t, None, 0, 0, tmp[i], b_dim, 0, refp,
+                    frame_hdr.gmv[b.ref[i]],
+                )
+            else:
+                tmp[i] = mc(
+                    f, t, None, 0, 0, bw4, bh4, t.bx, t.by, 0,
+                    tuple(b.mv[i]), refp, b.ref[i], filter2d, prep=True,
+                )
+        msk = None
+        if b.comp_type == COMP_INTER_AVG:
+            M.avg(ypl, dsty, dstx, tmp[0], tmp[1], bw4 * 4, bh4 * 4, bpc)
+        elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
+            jnt_weight = f.jnt_weights[b.ref[0]][b.ref[1]]
+            M.w_avg(ypl, dsty, dstx, tmp[0], tmp[1], bw4 * 4, bh4 * 4, jnt_weight, bpc)
+        elif b.comp_type == COMP_INTER_SEG:
+            sign = b.mask_sign
+            seg_mask = M.w_mask(
+                ypl, dsty, dstx, tmp[sign], tmp[1 - sign], bw4 * 4, bh4 * 4,
+                sign, ss_hor if chr_layout_idx else 0,
+                ss_ver if chr_layout_idx == 2 else 0, bpc,
+            )
+            msk = seg_mask
+        elif b.comp_type == COMP_INTER_WEDGE:
+            sign = b.mask_sign
+            wm = WEDGE_MASKS[bs][0][0][b.wedge_idx].reshape(bh4 * 4, bw4 * 4)
+            M.mask(ypl, dsty, dstx, tmp[sign], tmp[1 - sign], bw4 * 4, bh4 * 4, wm, bpc)
+            if has_chroma:
+                msk = WEDGE_MASKS[bs][chr_layout_idx][sign][b.wedge_idx].reshape(
+                    (bh4 * 4) >> ss_ver, (bw4 * 4) >> ss_hor
+                )
+        if has_chroma:
+            cw_px = (bw4 * 4) >> ss_hor
+            ch_px = (bh4 * 4) >> ss_ver
+            for pl in range(2):
+                for i in range(2):
+                    refp = f.refp[b.ref[i]]
+                    if (
+                        b.inter_mode == GLOBALMV_GLOBALMV
+                        and min(cbw4, cbh4) > 1
+                        and f.gmv_warp_allowed[b.ref[i]]
+                    ):
+                        tmp[i] = np.zeros((ch_px, cw_px), dtype=np.int32)
+                        warp_affine(
+                            f, t, None, 0, 0, tmp[i], b_dim, 1 + pl, refp,
+                            frame_hdr.gmv[b.ref[i]],
+                        )
+                    else:
+                        tmp[i] = mc(
+                            f, t, None, 0, 0, bw4, bh4, t.bx, t.by, 1 + pl,
+                            tuple(b.mv[i]), refp, b.ref[i], filter2d, prep=True,
+                        )
+                uvdst = _plane(f.cur, 1 + pl)
+                if b.comp_type == COMP_INTER_AVG:
+                    M.avg(uvdst, cdsty, cdstx, tmp[0], tmp[1], cw_px, ch_px, bpc)
+                elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
+                    M.w_avg(
+                        uvdst, cdsty, cdstx, tmp[0], tmp[1], cw_px, ch_px,
+                        jnt_weight, bpc,
+                    )
+                else:
+                    sign = b.mask_sign
+                    m2d = msk if msk.shape == (ch_px, cw_px) else msk.reshape(
+                        ch_px, cw_px
+                    )
+                    M.mask(
+                        uvdst, cdsty, cdstx, tmp[sign], tmp[1 - sign],
+                        cw_px, ch_px, m2d, bpc,
+                    )
+    else:
+        refp = f.refp[b.ref[0]]
+        filter2d = b.filter2d
+        if min(bw4, bh4) > 1 and (
+            (b.inter_mode == GLOBALMV and f.gmv_warp_allowed[b.ref[0]])
+            or (
+                b.motion_mode == MM_WARP
+                and t.warpmv.type > WarpedMotionType.TRANSLATION
+            )
+        ):
+            wmp = t.warpmv if b.motion_mode == MM_WARP else frame_hdr.gmv[b.ref[0]]
+            warp_affine(f, t, ypl, dsty, dstx, None, b_dim, 0, refp, wmp)
+        else:
+            mc(
+                f, t, ypl, dsty, dstx, bw4, bh4, t.bx, t.by, 0,
+                tuple(b.mv[0]), refp, b.ref[0], filter2d,
+            )
+            if b.motion_mode == MM_OBMC:
+                obmc(f, t, ts, ypl, dsty, dstx, b_dim, 0, bx4, by4, w4, h4)
+        if b.interintra_type != INTER_INTRA_NONE:
+            m = SMOOTH_PRED if b.interintra_mode == 3 else b.interintra_mode
+            top_sb_edge = None
+            if (t.by & (f.sb_step - 1)) == 0:
+                top_sb_edge = f.ipred_edge[0][(t.by >> f.sb_shift) - 1]
+            m, angle = prepare_intra_edges(
+                t.bx, t.bx > ts.col_start, t.by, t.by > ts.row_start,
+                ts.col_end, ts.row_end, 0, ypl, top_sb_edge, m, 0,
+                bw4, bh4, 0, t.edge_buf, bpc,
+            )
+            ii_tmp = np.zeros((bh4 * 4, bw4 * 4), dtype=ypl.dtype)
+            _IPRED_FNS[m](
+                ii_tmp, t.edge_buf, EDGE_OFF, bw4 * 4, bh4 * 4, angle, 0, 0, bpc
+            )
+            if b.interintra_type == INTER_INTRA_BLEND:
+                ii_mask = II_MASKS[bs][0][b.interintra_mode]
+            else:
+                ii_mask = WEDGE_MASKS[bs][0][0][b.wedge_idx]
+            M.blend(
+                ypl, dsty, dstx, ii_tmp, bw4 * 4, bh4 * 4,
+                ii_mask[: bh4 * 4 * bw4 * 4].reshape(bh4 * 4, bw4 * 4)
+                if len(ii_mask) >= bh4 * 4 * bw4 * 4
+                else np.broadcast_to(ii_mask, (bh4 * 4, bw4 * 4)),
+            )
+        if has_chroma:
+            is_sub8x8 = bw4 == ss_hor or bh4 == ss_ver
+            if is_sub8x8:
+                assert ss_hor == 1
+                rf = f.rf
+                if bw4 == 1:
+                    is_sub8x8 &= int(rf.r[t.by, t.bx - 1]["ref"][0]) > 0
+                if bh4 == ss_ver:
+                    is_sub8x8 &= int(rf.r[t.by - 1, t.bx]["ref"][0]) > 0
+                if bw4 == 1 and bh4 == ss_ver:
+                    is_sub8x8 &= int(rf.r[t.by - 1, t.bx - 1]["ref"][0]) > 0
+            if is_sub8x8:
+                h_off = 0
+                v_off = 0
+                if bw4 == 1 and bh4 == ss_ver:
+                    for pl in range(2):
+                        r = f.rf.r[t.by - 1, t.bx - 1]
+                        mc(
+                            f, t, _plane(f.cur, 1 + pl), cdsty, cdstx,
+                            bw4, bh4, t.bx - 1, t.by - 1, 1 + pl,
+                            (int(r["mv"][0][0]), int(r["mv"][0][1])),
+                            f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
+                            t.tl_4x4_filter,
+                        )
+                    v_off = 2
+                    h_off = 2
+                if bw4 == 1:
+                    left_f2d = _filter2d_of(
+                        t.l.filter[0][by4], t.l.filter[1][by4]
+                    )
+                    for pl in range(2):
+                        r = f.rf.r[t.by, t.bx - 1]
+                        mc(
+                            f, t, _plane(f.cur, 1 + pl), cdsty + v_off, cdstx,
+                            bw4, bh4, t.bx - 1, t.by, 1 + pl,
+                            (int(r["mv"][0][0]), int(r["mv"][0][1])),
+                            f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
+                            left_f2d,
+                        )
+                    h_off = 2
+                if bh4 == ss_ver:
+                    top_f2d = _filter2d_of(
+                        ts.a.filter[0][t.bx], ts.a.filter[1][t.bx]
+                    )
+                    for pl in range(2):
+                        r = f.rf.r[t.by - 1, t.bx]
+                        mc(
+                            f, t, _plane(f.cur, 1 + pl), cdsty, cdstx + h_off,
+                            bw4, bh4, t.bx, t.by - 1, 1 + pl,
+                            (int(r["mv"][0][0]), int(r["mv"][0][1])),
+                            f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
+                            top_f2d,
+                        )
+                    v_off = 2
+                for pl in range(2):
+                    mc(
+                        f, t, _plane(f.cur, 1 + pl), cdsty + v_off, cdstx + h_off,
+                        bw4, bh4, t.bx, t.by, 1 + pl,
+                        tuple(b.mv[0]), refp, b.ref[0], filter2d,
+                    )
+            else:
+                if min(cbw4, cbh4) > 1 and (
+                    (b.inter_mode == GLOBALMV and f.gmv_warp_allowed[b.ref[0]])
+                    or (
+                        b.motion_mode == MM_WARP
+                        and t.warpmv.type > WarpedMotionType.TRANSLATION
+                    )
+                ):
+                    wmp = (
+                        t.warpmv
+                        if b.motion_mode == MM_WARP
+                        else frame_hdr.gmv[b.ref[0]]
+                    )
+                    for pl in range(2):
+                        warp_affine(
+                            f, t, _plane(f.cur, 1 + pl), cdsty, cdstx, None,
+                            b_dim, 1 + pl, refp, wmp,
+                        )
+                else:
+                    for pl in range(2):
+                        mc(
+                            f, t, _plane(f.cur, 1 + pl), cdsty, cdstx,
+                            bw4 << (1 if bw4 == ss_hor else 0),
+                            bh4 << (1 if bh4 == ss_ver else 0),
+                            t.bx & ~ss_hor, t.by & ~ss_ver, 1 + pl,
+                            tuple(b.mv[0]), refp, b.ref[0], filter2d,
+                        )
+                        if b.motion_mode == MM_OBMC:
+                            obmc(
+                                f, t, ts, _plane(f.cur, 1 + pl), cdsty, cdstx,
+                                b_dim, 1 + pl, bx4, by4, w4, h4,
+                            )
+                if b.interintra_type != INTER_INTRA_NONE:
+                    if b.interintra_type == INTER_INTRA_BLEND:
+                        ii_mask = II_MASKS[bs][chr_layout_idx][b.interintra_mode]
+                    else:
+                        ii_mask = WEDGE_MASKS[bs][chr_layout_idx][0][b.wedge_idx]
+                    for pl in range(2):
+                        m = SMOOTH_PRED if b.interintra_mode == 3 else b.interintra_mode
+                        uvpl = _plane(f.cur, 1 + pl)
+                        top_sb_edge = None
+                        if (t.by & (f.sb_step - 1)) == 0:
+                            top_sb_edge = f.ipred_edge[pl + 1][
+                                (t.by >> f.sb_shift) - 1
+                            ]
+                        m, angle = prepare_intra_edges(
+                            t.bx >> ss_hor,
+                            (t.bx >> ss_hor) > (ts.col_start >> ss_hor),
+                            t.by >> ss_ver,
+                            (t.by >> ss_ver) > (ts.row_start >> ss_ver),
+                            ts.col_end >> ss_hor,
+                            ts.row_end >> ss_ver,
+                            0, uvpl, top_sb_edge, m, 0, cbw4, cbh4, 0,
+                            t.edge_buf, bpc,
+                        )
+                        ii_tmp = np.zeros((cbh4 * 4, cbw4 * 4), dtype=uvpl.dtype)
+                        _IPRED_FNS[m](
+                            ii_tmp, t.edge_buf, EDGE_OFF, cbw4 * 4, cbh4 * 4,
+                            angle, 0, 0, bpc,
+                        )
+                        M.blend(
+                            uvpl, cdsty, cdstx, ii_tmp, cbw4 * 4, cbh4 * 4,
+                            ii_mask[: cbh4 * 4 * cbw4 * 4].reshape(
+                                cbh4 * 4, cbw4 * 4
+                            ),
+                        )
+        t.tl_4x4_filter = filter2d
+
+    # residuals
+    cw4 = (w4 + ss_hor) >> ss_hor
+    ch4 = (h4 + ss_ver) >> ss_ver
+    if b.skip:
+        for i in range(bw4):
+            ts.a.lcoef[t.bx + i] = 0x40
+        for i in range(bh4):
+            t.l.lcoef[(by4 + i) & 31] = 0x40
+        if has_chroma:
+            cbx_abs = t.bx >> ss_hor
+            for pl in range(2):
+                for i in range(cbw4):
+                    ts.a.ccoef[pl][cbx_abs + i] = 0x40
+                for i in range(cbh4):
+                    t.l.ccoef[pl][(cby4 + i) & 31] = 0x40
+        return
+    uvt_dim = TXFM_DIMENSIONS[b.uvtx]
+    yt_dim = TXFM_DIMENSIONS[b.max_ytx]
+    tx_split = [b.tx_split0, b.tx_split1]
+    for init_y in range(0, bh4, 16):
+        for init_x in range(0, bw4, 16):
+            y_off = 1 if init_y else 0
+            y = init_y
+            t.by += init_y
+            while y < min(h4, init_y + 16):
+                x_off = 1 if init_x else 0
+                x = init_x
+                t.bx += init_x
+                while x < min(w4, init_x + 16):
+                    read_coef_tree(
+                        t, f, ts, bs, b, b.max_ytx, 0, tx_split, x_off, y_off,
+                        ypl, 4 * t.by, 4 * t.bx,
+                    )
+                    t.bx += yt_dim.w
+                    x += yt_dim.w
+                    x_off += 1
+                t.bx -= x
+                t.by += yt_dim.h
+                y += yt_dim.h
+                y_off += 1
+            t.by -= y
+            if has_chroma:
+                for pl in range(2):
+                    uvpl = _plane(f.cur, 1 + pl)
+                    y = init_y >> ss_ver
+                    t.by += init_y
+                    while y < min(ch4, (init_y + 16) >> ss_ver):
+                        x = init_x >> ss_hor
+                        t.bx += init_x
+                        while x < min(cw4, (init_x + 16) >> ss_hor):
+                            ytxtp = int(
+                                t.txtp_map[
+                                    (by4 + (y << ss_ver)) & 31,
+                                    (bx4 + (x << ss_hor)) & 31,
+                                ]
+                            )
+                            cf = t.cf
+                            cf[: min(uvt_dim.w, 8) * min(uvt_dim.h, 8) * 16] = 0
+                            eob, txtp, cf_ctx = decode_coefs(
+                                f, ts, ts.a.ccoef[pl], t.l.ccoef[pl],
+                                (t.bx >> ss_hor), cby4 + y, b.uvtx, bs, b, 0,
+                                1 + pl, cf, ytxtp,
+                            )
+                            trace(
+                                f"Post-uv-cf-blk[pl={pl},tx={b.uvtx},"
+                                f"txtp={txtp},eob={eob}]: r={ts.msac.rng}"
+                            )
+                            for i in range(
+                                min(uvt_dim.h, (f.bh - t.by + ss_ver) >> ss_ver)
+                            ):
+                                t.l.ccoef[pl][(cby4 + y + i) & 31] = cf_ctx
+                            for i in range(
+                                min(uvt_dim.w, (f.bw - t.bx + ss_hor) >> ss_hor)
+                            ):
+                                ts.a.ccoef[pl][(t.bx >> ss_hor) + i] = cf_ctx
+                            if eob >= 0:
+                                inv_txfm_add(
+                                    uvpl[
+                                        4 * ((t.by >> ss_ver) + 0) : 4
+                                        * (t.by >> ss_ver)
+                                        + uvt_dim.h * 4,
+                                        4 * (t.bx >> ss_hor) + 4 * 0 : 4
+                                        * (t.bx >> ss_hor)
+                                        + uvt_dim.w * 4,
+                                    ],
+                                    cf, eob, uvt_dim.w * 4, uvt_dim.h * 4,
+                                    txtp, bpc,
+                                )
+                            t.bx += uvt_dim.w << ss_hor
+                            x += uvt_dim.w
+                        t.bx -= x << ss_hor
+                        t.by += uvt_dim.h << ss_ver
+                        y += uvt_dim.h
+                    t.by -= y << ss_ver

@@ -537,7 +537,7 @@ def read_mv_residual(ts, refmv, mv_cdf, have_fp):
 
     Like the reference (and dav1d C), the joint symbol always uses
     cdf.mv.joint, even when component cdfs come from cdf.dmv (intrabc)."""
-    jt = ts.msac.decode_symbol_adapt(ts.cdf.mv.joint, N_MV_JOINTS - 1)
+    jt = ts.msac.decode_symbol_adapt(ts.cdf.mv.joint, 3)
     if jt == MV_JOINT_HV:
         refmv[1] = _i16(refmv[1] + read_mv_component_diff(ts, mv_cdf.comp[0], have_fp))
         refmv[0] = _i16(refmv[0] + read_mv_component_diff(ts, mv_cdf.comp[1], have_fp))

@@ -86,12 +86,12 @@ class RefMvsFrame:
         refs (None if unusable).
         """
         self.sbsz = 16 << seq_hdr.sb128
-        self.iw8 = (frame_hdr.width[0] + 7) >> 3
-        self.ih8 = (frame_hdr.height + 7) >> 3
+        self.iw8 = (frame_hdr.size.width[0] + 7) >> 3
+        self.ih8 = (frame_hdr.size.height + 7) >> 3
         self.iw4 = self.iw8 << 1
         self.ih4 = self.ih8 << 1
 
-        r_stride = ((frame_hdr.width[0] + 127) & ~127) >> 2
+        r_stride = ((frame_hdr.size.width[0] + 127) & ~127) >> 2
         n_rows4 = ((self.ih4 + self.sbsz - 1) // self.sbsz) * self.sbsz
         self.r = np.zeros((n_rows4, r_stride), dtype=RB_DT)
         self.r_stride = r_stride
