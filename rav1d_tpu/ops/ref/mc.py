@@ -23,11 +23,13 @@ from ...tables.spec_data import (
     RESIZE_FILTER,
 )
 
-# filter_dir[filter2d] = (h_type, v_type) (tables.rs dav1d_filter_dir)
+# FILTER_DIR[filter2d] = (h_type, v_type). The Filter2d enum NAME is
+# (horizontal, vertical): mc_tmpl.c:376 filter_fns(regular_smooth,
+# h=REGULAR, v=SMOOTH). Verified against the C dsp via harness.
 FILTER_DIR = [
-    (0, 0), (1, 0), (2, 0),
-    (0, 2), (1, 2), (2, 2),
-    (0, 1), (1, 1), (2, 1),
+    (0, 0), (0, 1), (0, 2),
+    (2, 0), (2, 1), (2, 2),
+    (1, 0), (1, 1), (1, 2),
     (3, 3),
 ]
 

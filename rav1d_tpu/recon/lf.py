@@ -64,10 +64,10 @@ def record_lf_intra(f, ts, t, b, bs, has_chroma):
     lvls = ts.lflvl[b.seg_id]
     bx, by = t.bx, t.by
     b_dim = BLOCK_DIMENSIONS[bs]
-    bw4 = min(f.bw - bx, b_dim[0])
-    bh4 = min(f.bh - by, b_dim[1])
+    bw4 = min(f.w4 - bx, b_dim[0])
+    bh4 = min(f.h4 - by, b_dim[1])
 
-    if bw4 and bh4:
+    if bw4 > 0 and bh4 > 0:
         f.lf_level[by : by + bh4, bx : bx + bw4, 0] = lvls[0][0][0]
         f.lf_level[by : by + bh4, bx : bx + bw4, 1] = lvls[1][0][0]
         t_dim = TXFM_DIMENSIONS[b.tx]
@@ -95,9 +95,9 @@ def record_lf_intra(f, ts, t, b, bs, has_chroma):
     layout = f.cur.layout
     ss_ver = 1 if layout == PixelLayout.I420 else 0
     ss_hor = 1 if layout != PixelLayout.I444 else 0
-    cbw4 = min(((f.bw + ss_hor) >> ss_hor) - (bx >> ss_hor), (b_dim[0] + ss_hor) >> ss_hor)
-    cbh4 = min(((f.bh + ss_ver) >> ss_ver) - (by >> ss_ver), (b_dim[1] + ss_ver) >> ss_ver)
-    if cbw4 == 0 or cbh4 == 0:
+    cbw4 = min(((f.w4 + ss_hor) >> ss_hor) - (bx >> ss_hor), (b_dim[0] + ss_hor) >> ss_hor)
+    cbh4 = min(((f.h4 + ss_ver) >> ss_ver) - (by >> ss_ver), (b_dim[1] + ss_ver) >> ss_ver)
+    if cbw4 <= 0 or cbh4 <= 0:
         return
     cbx = bx >> ss_hor
     cby = by >> ss_ver
@@ -118,8 +118,8 @@ def record_lf_inter(f, ts, t, b, bs, is_comp, has_chroma):
     ref = b.ref[0] + 1
     bx, by = t.bx, t.by
     b_dim = BLOCK_DIMENSIONS[bs]
-    bw4 = min(f.bw - bx, b_dim[0])
-    bh4 = min(f.bh - by, b_dim[1])
+    bw4 = min(f.w4 - bx, b_dim[0])
+    bh4 = min(f.h4 - by, b_dim[1])
     max_ytx = b.max_ytx
     uvtx = b.uvtx
     if frame_hdr.segmentation.lossless[b.seg_id]:
@@ -127,7 +127,7 @@ def record_lf_inter(f, ts, t, b, bs, is_comp, has_chroma):
         uvtx = TX_4X4
     tx_masks = [b.tx_split0, b.tx_split1]
 
-    if bw4 and bh4:
+    if bw4 > 0 and bh4 > 0:
         f.lf_level[by : by + bh4, bx : bx + bw4, 0] = lvls[0][ref][idx]
         f.lf_level[by : by + bh4, bx : bx + bw4, 1] = lvls[1][ref][idx]
 
@@ -177,12 +177,12 @@ def record_lf_inter(f, ts, t, b, bs, is_comp, has_chroma):
     ss_ver = 1 if layout == PixelLayout.I420 else 0
     ss_hor = 1 if layout != PixelLayout.I444 else 0
     cbw4 = min(
-        ((f.bw + ss_hor) >> ss_hor) - (bx >> ss_hor), (b_dim[0] + ss_hor) >> ss_hor
+        ((f.w4 + ss_hor) >> ss_hor) - (bx >> ss_hor), (b_dim[0] + ss_hor) >> ss_hor
     )
     cbh4 = min(
-        ((f.bh + ss_ver) >> ss_ver) - (by >> ss_ver), (b_dim[1] + ss_ver) >> ss_ver
+        ((f.h4 + ss_ver) >> ss_ver) - (by >> ss_ver), (b_dim[1] + ss_ver) >> ss_ver
     )
-    if cbw4 == 0 or cbh4 == 0:
+    if cbw4 <= 0 or cbh4 <= 0:
         return
     cbx = bx >> ss_hor
     cby = by >> ss_ver
@@ -255,9 +255,9 @@ def apply_loopfilter(f):
                 H = L >> 4
                 E = e_lut[L]
                 I = i_lut[L]
-                if comp == 0:
+                if comp < 2:  # luma (comp 0=vert lvl, 1=horiz lvl)
                     wd = 4 << (cls_ - 1)
-                else:
+                else:  # chroma
                     wd = 4 + 2 * (cls_ - 1)
                 if horizontal:
                     filter_edge_h(plane, y * 4, x * 4, E, I, H, wd, bpc)
