@@ -20,13 +20,17 @@ def decode_frame(ctx, f):
     seq_hdr = f.seq_hdr
     frame_hdr = f.frame_hdr
 
-    if frame_hdr.quant.qm:
-        raise NotImplementedError("quantizer matrices land with the qm tables")
-
     # frame-wide quant tables
     f.dq = [[[0, 0] for _ in range(3)] for _ in range(8)]
     init_quant_tables(seq_hdr, frame_hdr, frame_hdr.quant.yac, f.dq)
     f.qm = [[None] * 3 for _ in range(19)]
+    if frame_hdr.quant.qm:
+        from ..tables.qm import QM_TBL
+
+        for i in range(19):
+            f.qm[i][0] = QM_TBL[frame_hdr.quant.qm_y][0][i]
+            f.qm[i][1] = QM_TBL[frame_hdr.quant.qm_u][1][i]
+            f.qm[i][2] = QM_TBL[frame_hdr.quant.qm_v][1][i]
 
     # frame-wide loopfilter levels (per seg): [8][4]
     from .lf_mask import calc_lf_values

@@ -102,6 +102,15 @@ def main():
     lit = re.sub(r"//[^\n]*", "", t_src[i : j + 1])
     out["cdef_directions"] = np.array(eval(lit), dtype=np.int8)  # noqa: S307 — arithmetic-only literal
 
+    # quantizer-matrix base tables (src/qm.rs): [15 qm levels][2 planes][N]
+    with open("/root/reference/src/qm.rs") as f:
+        qm_src = f.read()
+    for name in [
+        "qm_tbl_4x4_t", "qm_tbl_8x4", "qm_tbl_8x8_t", "qm_tbl_16x4",
+        "qm_tbl_16x8", "qm_tbl_32x8", "qm_tbl_32x16", "qm_tbl_32x32_t",
+    ]:
+        out[name] = grab_array(qm_src, name, np.uint8)
+
     np.savez_compressed("rav1d_tpu/tables/spec_tables.npz", **out)
     print(f"wrote {len(out)} tables")
     for k in sorted(out):
