@@ -22,6 +22,17 @@ class DecodeError(ValueError):
     pass
 
 
+def _has_grain(pic):
+    """lib.rs has_grain: any grain parameters actually active."""
+    d = pic.frame_hdr.film_grain.data
+    return bool(
+        d.num_y_points
+        or d.num_uv_points[0]
+        or d.num_uv_points[1]
+        or (d.clip_to_restricted_range and d.chroma_scaling_from_luma)
+    )
+
+
 class EAgain(Exception):
     """Raised when the call cannot make progress (dav1d EAGAIN semantics)."""
 
@@ -155,11 +166,7 @@ class Decoder:
         out = self._out
         if out is not None:
             self._out = None
-            if (
-                self.apply_grain
-                and out.frame_hdr is not None
-                and out.frame_hdr.film_grain.present
-            ):
+            if self.apply_grain and out.frame_hdr is not None and _has_grain(out):
                 out = self._apply_grain(out)
             return out
         raise EAgain("no picture ready")

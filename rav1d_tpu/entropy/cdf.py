@@ -32,7 +32,7 @@ N_SWITCHABLE_FILTERS = 3
 
 # partition symbol count per block level (dav1d_partition_type_count):
 # levels 128..16 have 10 partition types (9 probs), 8x8 has 4 (3 probs).
-PARTITION_TYPE_COUNT = [9, 9, 9, 9, 3]
+PARTITION_TYPE_COUNT = [7, 9, 9, 9, 3]  # [COUNT-3, COUNT-1 x3, N_SUB8X8-1]
 
 
 def _load_defaults():

@@ -217,27 +217,49 @@ class AnnexBDemuxer:
         self.num_frames = 0
         self._pos = 0
         self._ts = 0
+        self._tu_left = 0
+        self._fu_left = 0
 
     def __iter__(self):
         return self
 
     def __next__(self) -> Packet:
-        buf, pos = self._buf, self._pos
-        if pos >= len(buf):
+        # Emit one length-framed OBU per packet (tools/input/annexb.c
+        # annexb_read): the decoder handles OBUs without size fields when
+        # each data buffer holds exactly one OBU.
+        buf = self._buf
+        if self._pos >= len(buf):
             raise StopIteration
-        r = self._uleb(buf, pos)
+        if self._tu_left == 0:
+            r = self._uleb(buf, self._pos)
+            if r is None:
+                raise StopIteration
+            self._tu_left, self._pos = r
+            self._ts += 1
+        if self._fu_left == 0:
+            pos0 = self._pos
+            r = self._uleb(buf, self._pos)
+            if r is None:
+                raise StopIteration
+            self._fu_left, self._pos = r
+            if self._fu_left + (self._pos - pos0) > self._tu_left:
+                raise StopIteration
+            self._tu_left -= self._pos - pos0
+        pos0 = self._pos
+        r = self._uleb(buf, self._pos)
         if r is None:
             raise StopIteration
-        tu_size, data_start = r
-        end = data_start + tu_size
+        obu_len, data_start = r
+        hdr_len = data_start - pos0
+        if obu_len + hdr_len > self._fu_left:
+            raise StopIteration
+        end = data_start + obu_len
         if end > len(buf):
             raise StopIteration
         self._pos = end
-        ts = self._ts
-        self._ts += 1
-        # Packet payload is the whole temporal unit (frame units + OBUs with
-        # length prefixes); the OBU parser handles annexb framing itself.
-        return Packet(data=buf[data_start:end], timestamp=ts, offset=pos)
+        self._tu_left -= obu_len + hdr_len
+        self._fu_left -= obu_len + hdr_len
+        return Packet(data=buf[data_start:end], timestamp=self._ts - 1, offset=pos0)
 
     def read(self):
         try:

@@ -55,6 +55,13 @@ def decode_frame(ctx, f):
     from .lf import init_lf_maps
 
     init_lf_maps(f)
+    # tile-column right-edge tx_lpf backups (decode.rs:4540, f.lf.tx_lpf_right_edge)
+    ss_ver_lf = 1 if layout == PixelLayout.I420 else 0
+    align_h = (f.bh + 31) & ~31
+    f.tx_lpf_right_edge = [
+        np.full((frame_hdr.tiling.cols, align_h), 2, dtype=np.int8),
+        np.full((frame_hdr.tiling.cols, align_h >> ss_ver_lf), 1, dtype=np.int8),
+    ]
     f.all_lossless_cdef = frame_hdr.all_lossless
 
     # ref mvs (decode.rs:4327 init refmvs frame state)
@@ -89,6 +96,7 @@ def decode_frame(ctx, f):
             tile_states.append(ts)
 
     t = TaskContext(f)
+    f.tile_states = tile_states  # lf tile-boundary fixups read final ctx state
 
     update_idx = frame_hdr.tiling.update
     out_cdf = None

@@ -28,6 +28,62 @@ def init_lf_maps(f):
     ]
 
 
+def _fix_tile_cols(f):
+    """Clamp edge classes at tile boundaries (lf_apply
+    dav1d_loopfilter_sbrow_cols fixes): vertical edges at tile column
+    starts by the left tile's right-edge tx backup, horizontal edges at
+    tile row starts by the above tile's bottom (a ctx) tx."""
+    tiling = f.frame_hdr.tiling
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    sb_shift = f.sb_shift
+    cls_v, cls_v_uv = f.lf_cls[0], f.lf_cls[2]
+    for tile_col in range(1, tiling.cols):
+        x0 = tiling.col_start_sb[tile_col] << sb_shift
+        if x0 >= f.bw:
+            break
+        lpf_y = f.tx_lpf_right_edge[0][tile_col - 1]
+        lpf_uv = f.tx_lpf_right_edge[1][tile_col - 1]
+        for y in range(f.bh):
+            c = cls_v[y, x0]
+            if c:
+                cls_v[y, x0] = min(c, lpf_y[y] + 1)
+        x0c = x0 >> ss_hor
+        for y in range((f.bh + ss_ver) >> ss_ver):
+            c = cls_v_uv[y, x0c]
+            if c:
+                cls_v_uv[y, x0c] = min(c, lpf_uv[y] + 1)
+
+    # tile row boundaries: horizontal-edge classes clamped by the ABOVE
+    # tile row's final a-context tx_lpf
+    cls_h, cls_h_uv = f.lf_cls[1], f.lf_cls[3]
+    cols = tiling.cols
+    for tile_row in range(1, tiling.rows):
+        y0 = tiling.row_start_sb[tile_row] << sb_shift
+        if y0 >= f.bh:
+            break
+        above = [
+            f.tile_states[(tile_row - 1) * cols + c] for c in range(cols)
+        ]
+        for x in range(f.w4):
+            c = cls_h[y0, x]
+            if c:
+                # find the above tile covering column x
+                tc = 0
+                while tc + 1 < cols and (tiling.col_start_sb[tc + 1] << sb_shift) <= x:
+                    tc += 1
+                cls_h[y0, x] = min(c, above[tc].a.tx_lpf_y[x] + 1)
+        y0c = y0 >> ss_ver
+        for x in range((f.w4 + ss_hor) >> ss_hor):
+            c = cls_h_uv[y0c, x]
+            if c:
+                tc = 0
+                while tc + 1 < cols and ((tiling.col_start_sb[tc + 1] << sb_shift) >> ss_hor) <= x:
+                    tc += 1
+                cls_h_uv[y0c, x] = min(c, above[tc].a.tx_lpf_uv[x] + 1)
+
+
 def _decomp_tx(txa, from_tx, depth, y_off, x_off, tx_masks):
     """src/lf_mask.rs decomp_tx: fill per-cell (txw,txh) maps for var-tx."""
     t_dim = TXFM_DIMENSIONS[from_tx]
@@ -221,6 +277,7 @@ def apply_loopfilter(f):
         frame_hdr.loopfilter.level_u == 0 and frame_hdr.loopfilter.level_v == 0
     ):
         return
+    _fix_tile_cols(f)
     bpc = f.cur.bpc
     e_lut, i_lut = calc_eih(frame_hdr.loopfilter.sharpness)
     layout = f.cur.layout

@@ -784,6 +784,7 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
     ):
         smctx = ts.a.skip_mode[t.bx] + t.l.skip_mode[by4]
         b.skip_mode = msac.decode_bool_adapt(cdf.m.skip_mode[smctx])
+        trace(f"Post-skipmode[{b.skip_mode}]: r={msac.rng}")
     else:
         b.skip_mode = 0
 
@@ -1965,4 +1966,15 @@ def decode_tile_sbrow(t, f, ts, sby):
         decode_sb(t, f, ts, root_bl, edge_root)
         t.bx += sb_step
 
-    # backup pre-loopfilter right-edge / cdef state would go here (post-filters)
+    # backup t.l tx_lpf at the tile's right edge for the loopfilter's
+    # tile-boundary strength fixup (decode.rs:4540)
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    off = t.by & 16
+    f.tx_lpf_right_edge[0][ts.tile_col, t.by : t.by + sb_step] = t.l.tx_lpf_y[
+        off : off + sb_step
+    ]
+    cstep = sb_step >> ss_ver
+    f.tx_lpf_right_edge[1][
+        ts.tile_col, (t.by >> ss_ver) : (t.by >> ss_ver) + cstep
+    ] = t.l.tx_lpf_uv[(off >> ss_ver) : (off >> ss_ver) + cstep]

@@ -4,12 +4,12 @@ import pytest
 
 from conftest import vector_path
 from rav1d_tpu.decoder import Decoder, EAgain
-from rav1d_tpu.io.ivf import IvfDemuxer
+from rav1d_tpu.io import probe_demuxer
 from rav1d_tpu.io.muxers import Md5Muxer
 
 
 def decode_md5(relpath, max_frames=None):
-    demux = IvfDemuxer(vector_path(relpath))
+    demux = probe_demuxer(vector_path(relpath))
     dec = Decoder()
     md5 = Md5Muxer()
     n = 0
