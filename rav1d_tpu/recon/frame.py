@@ -43,7 +43,7 @@ def decode_frame(ctx, f):
     f.cdef_idx = np.full((n64h + 1, n64w + 1), -1, dtype=np.int32)
     f.noskip4 = np.zeros((f.bh + 32, f.bw + 32), dtype=np.uint8)
     f.lr_units = {}
-    f.sr_sb128w = f.sb128w  # post-superres width (differs only with superres)
+    f.sr_sb128w = (f.sr_cur.w + 127) >> 7  # post-superres sb128 cols
 
     # intra-prediction top edges per superblock row (pre-filter pixel rows)
     layout = f.cur.layout
@@ -142,11 +142,71 @@ def decode_frame(ctx, f):
         | f.noskip4[1 : f.bh + 32 : 2, 0 : f.bw + 32 : 2]
     )
     apply_cdef(f)
+    if frame_hdr.size.width[0] != frame_hdr.size.width[1]:
+        _superres(f)
+        if pre_cdef is not None:
+            pre_cdef = _resize_planes(f, pre_cdef)
     if pre_cdef is not None:
         apply_lr(f, pre_cdef)
 
     if frame_hdr.refresh_context:
         f.out_cdf = tile_states[update_idx].cdf.updated(frame_hdr)
+
+
+def _superres(f):
+    """Horizontal super-resolution upscale (recon.rs rav1d_filter_sbrow_resize
+    :4215, whole-frame formulation): f.cur planes -> f.sr_cur planes."""
+    from ..ops.ref.mc import resize
+
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    bpc = f.cur.bpc
+    planes = [(f.cur.y, f.sr_cur.y, 0)]
+    if layout != PixelLayout.I400:
+        planes += [(f.cur.u, f.sr_cur.u, 1), (f.cur.v, f.sr_cur.v, 1)]
+    for src, dst, chroma in planes:
+        sv = ss_ver if chroma else 0
+        sh = ss_hor if chroma else 0
+        dst_w = (f.sr_cur.w + sh) >> sh
+        src_w = (4 * f.bw + sh) >> sh
+        h = (f.cur.h + sv) >> sv
+        resize(
+            dst, 0, 0, src, 0, 0, dst_w, h, src_w,
+            f.resize_step[1 if chroma else 0], f.resize_start[1 if chroma else 0],
+            bpc,
+        )
+
+
+def _resize_planes(f, planes):
+    """Resize the pre-CDEF backup planes to super-res width (the reference
+    resizes its saved lpf line buffers the same way, lf_apply_tmpl.c:76)."""
+    from ..ops.ref.mc import resize
+
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    bpc = f.cur.bpc
+    out = []
+    for pl, src in enumerate(planes):
+        if src is None:
+            out.append(None)
+            continue
+        sh = ss_hor if pl else 0
+        sv = ss_ver if pl else 0
+        dst = np.zeros(
+            ((f.sr_cur.y.shape[0] >> sv), f.sr_cur.y.shape[1] >> sh),
+            dtype=src.dtype,
+        )
+        dst_w = (f.sr_cur.w + sh) >> sh
+        src_w = (4 * f.bw + sh) >> sh
+        h = (f.cur.h + sv) >> sv
+        resize(
+            dst, 0, 0, src, 0, 0, dst_w, h, src_w,
+            f.resize_step[1 if pl else 0], f.resize_start[1 if pl else 0], bpc,
+        )
+        out.append(dst)
+    return out
 
 
 def decode_tile_sbrow_wrap(t, f, ts, sby):

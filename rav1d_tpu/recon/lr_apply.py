@@ -50,15 +50,16 @@ def apply_lr(f, pre_cdef):
     seq_hdr = f.seq_hdr
     sb128 = seq_hdr.sb128
     layout = f.cur.layout
-    planes = [f.cur.y, f.cur.u, f.cur.v]
+    sr = f.sr_cur  # restoration runs post-superres (recon.rs filter_sbrow)
+    planes = [sr.y, sr.u, sr.v]
     pre_lr = [p.copy() if p is not None else None for p in planes]
 
     for sby in range(f.sbh):
         offset_y = 8 if sby else 0
         not_last = 1 if sby + 1 < f.sbh else 0
         if restore_planes & 1:
-            h = f.cur.h
-            w = f.cur.w
+            h = sr.h
+            w = sr.w
             next_row_y = (sby + 1) << (6 + sb128)
             row_h = min(next_row_y - 8 * not_last, h)
             y_stripe = (sby << (6 + sb128)) - offset_y
@@ -68,8 +69,8 @@ def apply_lr(f, pre_cdef):
         if restore_planes & 6 and layout != PixelLayout.I400:
             ss_ver = 1 if layout == PixelLayout.I420 else 0
             ss_hor = 1 if layout != PixelLayout.I444 else 0
-            h = (f.cur.h + ss_ver) >> ss_ver
-            w = (f.cur.w + ss_hor) >> ss_hor
+            h = (sr.h + ss_ver) >> ss_ver
+            w = (sr.w + ss_hor) >> ss_hor
             next_row_y = (sby + 1) << (6 - ss_ver + sb128)
             row_h = min(next_row_y - (8 >> ss_ver) * not_last, h)
             offset_uv = offset_y >> ss_ver
@@ -135,9 +136,8 @@ def _lr_stripe(f, p, pre_lr, lpf, x, y, plane, unit_w, row_h, lr):
     bpc = f.cur.bpc
     stripe_h = min((64 - 8 * (1 if y == 0 else 0)) >> ss_ver, row_h - y)
     have_left_unit = x > 0
-    w_plane = (f.cur.w + (chroma & (1 if layout != PixelLayout.I444 else 0))) >> (
-        chroma & (1 if layout != PixelLayout.I444 else 0)
-    )
+    sh = chroma & (1 if layout != PixelLayout.I444 else 0)
+    w_plane = (f.sr_cur.w + sh) >> sh
     sby_cur = (y + ((8 << ss_ver) if y else 0)) >> (6 - ss_ver + seq_hdr.sb128)
     have_top = y > 0
     while y + stripe_h <= row_h:

@@ -1926,7 +1926,24 @@ def _read_sb_restoration(t, f, ts, sb_step):
             continue
         frame_type_r = frame_hdr.restoration.type[p]
         if frame_hdr.size.width[0] != frame_hdr.size.width[1]:
-            raise NotImplementedError("LR with super-res lands with superres")
+            # superres: LR units live in post-upscale coordinates
+            w = (f.sr_cur.w + ss_hor) >> ss_hor
+            n_units = max(1, (w + half_unit) >> unit_size_log2)
+            d = frame_hdr.size.super_res.width_scale_denominator
+            rnd = unit_size * 8 - 1
+            shift = unit_size_log2 + 3
+            x0 = (((4 * t.bx * d) >> ss_hor) + rnd) >> shift
+            x1 = (((4 * (t.bx + sb_step) * d) >> ss_hor) + rnd) >> shift
+            for x in range(x0, min(x1, n_units)):
+                px_x = x << (unit_size_log2 + ss_hor)
+                sb_idx = (t.by >> 5) * f.sr_sb128w + (px_x >> 7)
+                unit_idx = ((t.by & 16) >> 3) + ((px_x & 64) >> 6)
+                lr = f.lr_units.get((p, sb_idx, unit_idx))
+                if lr is None:
+                    lr = RestorationUnit()
+                    f.lr_units[(p, sb_idx, unit_idx)] = lr
+                read_restoration_info(ts, lr, p, frame_type_r)
+            continue
         x = (4 * t.bx) >> ss_hor
         if x & mask:
             continue

@@ -3,14 +3,14 @@
 import pytest
 
 from conftest import vector_path
-from rav1d_tpu.decoder import Decoder, EAgain
+from rav1d_tpu.decoder import Decoder, EAgain, Settings
 from rav1d_tpu.io import probe_demuxer
 from rav1d_tpu.io.muxers import Md5Muxer
 
 
 def decode_md5(relpath, max_frames=None):
     demux = probe_demuxer(vector_path(relpath))
-    dec = Decoder()
+    dec = Decoder(Settings(apply_grain=False))  # test md5s are grain-free (dav1d --filmgrain 0)
     md5 = Md5Muxer()
     n = 0
     for pkt in demux:
