@@ -32,6 +32,10 @@ def _filter4(px, E, I, H, wd, bpc):
     bd_min8 = bpc - 8
     F = 1 << bd_min8
     pixel_max = (1 << bpc) - 1
+    # thresholds are specified at 8-bit scale (loopfilter_tmpl.c:44)
+    E <<= bd_min8
+    I <<= bd_min8
+    H <<= bd_min8
 
     p1, p0 = px[off - 2], px[off - 1]
     q0, q1 = px[off], px[off + 1]

@@ -15,7 +15,7 @@ STRIDE = 390  # REST_UNIT_STRIDE
 
 
 def padding(tmp, p, y0, x0, left_src, lpf, lpf_above_y, lpf_below_y, w, h,
-            have_left, have_right, have_top, have_bottom):
+            have_left, have_right, have_top, have_bottom, lpf_below_y2=None):
     """Assemble (h+6)x(w+6+...) padded stripe into tmp (2D (h+6, w+6)).
 
     p: pre-LR plane (reads for in-stripe rows); left_src: pre-LR plane for
@@ -45,11 +45,14 @@ def padding(tmp, p, y0, x0, left_src, lpf, lpf_above_y, lpf_below_y, w, h,
         tmp[1, xoff : xoff + uw] = r
         tmp[2, xoff : xoff + uw] = r
 
-    # bottom 3 rows
+    # bottom 3 rows; the second backup line duplicates the first when the
+    # stripe boundary + 1 hits the frame bottom (lf_apply backup_lpf n_lines)
     if have_bottom:
+        if lpf_below_y2 is None:
+            lpf_below_y2 = lpf_below_y + 1
         tmp[3 + h, xoff : xoff + uw] = prow(lpf, lpf_below_y, uw)
-        tmp[4 + h, xoff : xoff + uw] = prow(lpf, lpf_below_y + 1, uw)
-        tmp[5 + h, xoff : xoff + uw] = prow(lpf, lpf_below_y + 1, uw)
+        tmp[4 + h, xoff : xoff + uw] = prow(lpf, lpf_below_y2, uw)
+        tmp[5 + h, xoff : xoff + uw] = prow(lpf, lpf_below_y2, uw)
     else:
         r = prow(p, y0 + h - 1, uw).copy()
         if have_left:

@@ -330,7 +330,7 @@ def recon_b_inter(t, f, ts, bs, b):
 
     if frame_hdr.frame_type.is_key_or_intra:
         # intra block copy
-        assert not frame_hdr.super_res
+        assert not frame_hdr.size.super_res.enabled
         mc(
             f, t, ypl, dsty, dstx, bw4, bh4, t.bx, t.by, 0,
             tuple(b.mv[0]), f.sr_cur, 0, FILTER_2D_BILINEAR,

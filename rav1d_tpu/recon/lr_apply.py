@@ -120,15 +120,15 @@ def _lr_sbrow(f, p, pre_lr, lpf, y, w, h, row_h, plane, sby):
         next_u_idx = unit_idx + ((next_x >> (shift_hor - 1)) & 1)
         lr[1 - bit] = get_unit(sb_idx + (next_x >> shift_hor), next_u_idx)
         if restore:
-            _lr_stripe(f, p, pre_lr, lpf, x, y, plane, unit_size, row_h, lr[bit])
+            _lr_stripe(f, p, pre_lr, lpf, x, y, plane, unit_size, row_h, lr[bit], h)
         x = next_x
         restore = lr[1 - bit].type != RestorationType.NONE
         bit = 1 - bit
     if restore:
-        _lr_stripe(f, p, pre_lr, lpf, x, y, plane, w - x, row_h, lr[bit])
+        _lr_stripe(f, p, pre_lr, lpf, x, y, plane, w - x, row_h, lr[bit], h)
 
 
-def _lr_stripe(f, p, pre_lr, lpf, x, y, plane, unit_w, row_h, lr):
+def _lr_stripe(f, p, pre_lr, lpf, x, y, plane, unit_w, row_h, lr, plane_h):
     seq_hdr = f.seq_hdr
     layout = f.cur.layout
     chroma = 1 if plane else 0
@@ -144,6 +144,8 @@ def _lr_stripe(f, p, pre_lr, lpf, x, y, plane, unit_w, row_h, lr):
         have_bottom = sby_cur + 1 != f.sbh or y + stripe_h != row_h
         have_right = x + unit_w < w_plane
         tmp = np.zeros((stripe_h + 6, unit_w + 6), dtype=np.int64)
+        below = y + stripe_h
+        below2 = below if below + 1 == plane_h else below + 1
         padding(
             tmp,
             pre_lr,
@@ -152,13 +154,14 @@ def _lr_stripe(f, p, pre_lr, lpf, x, y, plane, unit_w, row_h, lr):
             pre_lr,
             lpf,
             y - 2,
-            y + stripe_h,
+            below,
             unit_w,
             stripe_h,
             have_left_unit,
             have_right,
             have_top,
             have_bottom,
+            lpf_below_y2=below2,
         )
         if lr.type == RestorationType.WIENER:
             wiener(p, y, x, tmp, unit_w, stripe_h, lr.filter_h, lr.filter_v, bpc)

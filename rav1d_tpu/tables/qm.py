@@ -23,7 +23,7 @@ from ..syntax.levels import (
 
 def _untriangled(src, sz):
     """qm.rs untriangled: expand the triangular-packed symmetric matrix."""
-    dst = np.zeros(sz * sz, dtype=np.uint8)
+    dst = np.zeros(sz * sz, dtype=np.int32)
     dst_off = 0
     src_off = 0
     for y in range(sz):
@@ -46,7 +46,7 @@ def _subsampled(src, sz, step):
 
 
 def _build():
-    t = {k: _NPZ[k] for k in (
+    t = {k: _NPZ[k].astype(np.int32) for k in (
         "qm_tbl_4x4_t", "qm_tbl_8x4", "qm_tbl_8x8_t", "qm_tbl_16x4",
         "qm_tbl_16x8", "qm_tbl_32x8", "qm_tbl_32x16", "qm_tbl_32x32_t",
     )}
