@@ -24,23 +24,46 @@ def constrain(diff, threshold, shift):
     return -v if diff < 0 else v
 
 
+_FD_IDX = None
+
+
+def _find_dir_idx():
+    """Precomputed flat scatter indices for the 8 partial-sum projections."""
+    global _FD_IDX
+    if _FD_IDX is None:
+        ys, xs = np.mgrid[0:8, 0:8]
+        _FD_IDX = [
+            (ys + xs).ravel(),  # diag0 (15)
+            (ys + (xs >> 1)).ravel(),  # alt0 (11)
+            ys.ravel(),  # hv0 (8)
+            (3 + ys - (xs >> 1)).ravel(),  # alt1
+            (7 + ys - xs).ravel(),  # diag1
+            (3 - (ys >> 1) + xs).ravel(),  # alt2
+            xs.ravel(),  # hv1
+            ((ys >> 1) + xs).ravel(),  # alt3
+        ]
+    return _FD_IDX
+
+
 def find_dir(img, bpc):
     """img: (8,8) int array. Returns (dir, var) (cdef_find_dir_rust)."""
     bdm8 = bpc - 8
-    partial_sum_hv = [[0] * 8, [0] * 8]
-    partial_sum_diag = [[0] * 15, [0] * 15]
-    partial_sum_alt = [[0] * 11 for _ in range(4)]
-    for y in range(8):
-        for x in range(8):
-            px = (int(img[y, x]) >> bdm8) - 128
-            partial_sum_diag[0][y + x] += px
-            partial_sum_alt[0][y + (x >> 1)] += px
-            partial_sum_hv[0][y] += px
-            partial_sum_alt[1][3 + y - (x >> 1)] += px
-            partial_sum_diag[1][7 + y - x] += px
-            partial_sum_alt[2][3 - (y >> 1) + x] += px
-            partial_sum_hv[1][x] += px
-            partial_sum_alt[3][(y >> 1) + x] += px
+    px = ((np.asarray(img, dtype=np.int64) >> bdm8) - 128).ravel()
+    idx = _find_dir_idx()
+    partial_sum_diag = [
+        np.bincount(idx[0], px, minlength=15).astype(np.int64),
+        np.bincount(idx[4], px, minlength=15).astype(np.int64),
+    ]
+    partial_sum_alt = [
+        np.bincount(idx[1], px, minlength=11).astype(np.int64),
+        np.bincount(idx[3], px, minlength=11).astype(np.int64),
+        np.bincount(idx[5], px, minlength=11).astype(np.int64),
+        np.bincount(idx[7], px, minlength=11).astype(np.int64),
+    ]
+    partial_sum_hv = [
+        np.bincount(idx[2], px, minlength=8).astype(np.int64),
+        np.bincount(idx[6], px, minlength=8).astype(np.int64),
+    ]
     M = 0xFFFFFFFF
     cost = [0] * 8
     for n in range(8):
@@ -72,6 +95,7 @@ def find_dir(img, bpc):
                 c + (partial_sum_alt[n][m] ** 2 + partial_sum_alt[n][10 - m] ** 2) * d
             ) & M
         cost[n * 2 + 1] = c
+    cost = [int(c) for c in cost]
     best_dir = 0
     best_cost = cost[0]
     for n in range(1, 8):
@@ -89,12 +113,21 @@ def adjust_strength(strength, var):
     return (strength * (4 + i) + 8) >> 4
 
 
+def _constrain_arr(diff, threshold, shift):
+    """Vectorized constrain() over an int array."""
+    adiff = np.abs(diff)
+    v = np.minimum(adiff, np.maximum(0, threshold - (adiff >> shift)))
+    return np.where(diff < 0, -v, v)
+
+
 def cdef_filter_block(
     dst, src, y0, x0, w, h, pri_strength, sec_strength, direction, damping,
     have_left, have_right, have_top, have_bottom, bpc,
 ):
     """Filter a w x h block at (y0, x0): read from `src` (pre-CDEF copy),
-    write into `dst`. Parity: cdef_filter_block_c with padding()."""
+    write into `dst`. Parity: cdef_filter_block_c with padding().
+    Vectorized over the block (shifted-window formulation — the same shape
+    the TPU kernel uses)."""
     # build tmp with 2px border, MISSING where unavailable
     tmp = np.full((h + 4, w + 4), MISSING, dtype=np.int32)
     ph, pw = src.shape
@@ -114,72 +147,61 @@ def cdef_filter_block(
         pri_shift = max(0, damping - _ulog2(pri_strength))
     sec_shift = damping - _ulog2(sec_strength) if sec_strength else 0
 
-    for yy in range(h):
-        for xx in range(w):
-            px = int(dst[y0 + yy, x0 + xx])
-            ty, tx = 2 + yy, 2 + xx
-            s = 0
-            if pri_strength and sec_strength:
-                mx = mn = px
-                pri_tap_k = pri_tap
-                for k in range(2):
-                    o1 = CDEF_DIRECTIONS[direction + 2][k]
-                    oy, ox = _off(o1)
-                    p0 = int(tmp[ty + oy, tx + ox])
-                    p1 = int(tmp[ty - oy, tx - ox])
-                    s += pri_tap_k * constrain(p0 - px, pri_strength, pri_shift)
-                    s += pri_tap_k * constrain(p1 - px, pri_strength, pri_shift)
-                    pri_tap_k = (pri_tap_k & 3) | 2
-                    mn = _umin(p0, mn)
-                    mx = max(p0, mx)
-                    mn = _umin(p1, mn)
-                    mx = max(p1, mx)
-                    o2 = CDEF_DIRECTIONS[direction + 4][k]
-                    o3 = CDEF_DIRECTIONS[direction + 0][k]
-                    oy2, ox2 = _off(o2)
-                    oy3, ox3 = _off(o3)
-                    s0 = int(tmp[ty + oy2, tx + ox2])
-                    s1 = int(tmp[ty - oy2, tx - ox2])
-                    s2 = int(tmp[ty + oy3, tx + ox3])
-                    s3 = int(tmp[ty - oy3, tx - ox3])
-                    sec_tap = 2 - k
-                    s += sec_tap * constrain(s0 - px, sec_strength, sec_shift)
-                    s += sec_tap * constrain(s1 - px, sec_strength, sec_shift)
-                    s += sec_tap * constrain(s2 - px, sec_strength, sec_shift)
-                    s += sec_tap * constrain(s3 - px, sec_strength, sec_shift)
-                    for sv in (s0, s1, s2, s3):
-                        mn = _umin(sv, mn)
-                        mx = max(sv, mx)
-                out = px + ((s - (1 if s < 0 else 0) + 8) >> 4)
-                out = max(mn, min(out, mx))
-                dst[y0 + yy, x0 + xx] = out
-            elif pri_strength:
-                pri_tap_k = pri_tap
-                for k in range(2):
-                    o1 = CDEF_DIRECTIONS[direction + 2][k]
-                    oy, ox = _off(o1)
-                    p0 = int(tmp[ty + oy, tx + ox])
-                    p1 = int(tmp[ty - oy, tx - ox])
-                    s += pri_tap_k * constrain(p0 - px, pri_strength, pri_shift)
-                    s += pri_tap_k * constrain(p1 - px, pri_strength, pri_shift)
-                    pri_tap_k = (pri_tap_k & 3) | 2
-                dst[y0 + yy, x0 + xx] = px + ((s - (1 if s < 0 else 0) + 8) >> 4)
-            else:
-                for k in range(2):
-                    o2 = CDEF_DIRECTIONS[direction + 4][k]
-                    o3 = CDEF_DIRECTIONS[direction + 0][k]
-                    oy2, ox2 = _off(o2)
-                    oy3, ox3 = _off(o3)
-                    s0 = int(tmp[ty + oy2, tx + ox2])
-                    s1 = int(tmp[ty - oy2, tx - ox2])
-                    s2 = int(tmp[ty + oy3, tx + ox3])
-                    s3 = int(tmp[ty - oy3, tx - ox3])
-                    sec_tap = 2 - k
-                    s += sec_tap * constrain(s0 - px, sec_strength, sec_shift)
-                    s += sec_tap * constrain(s1 - px, sec_strength, sec_shift)
-                    s += sec_tap * constrain(s2 - px, sec_strength, sec_shift)
-                    s += sec_tap * constrain(s3 - px, sec_strength, sec_shift)
-                dst[y0 + yy, x0 + xx] = px + ((s - (1 if s < 0 else 0) + 8) >> 4)
+    def win(oy, ox):
+        return tmp[2 + oy : 2 + oy + h, 2 + ox : 2 + ox + w].astype(np.int64)
+
+    px = dst[y0 : y0 + h, x0 : x0 + w].astype(np.int64)
+    s = np.zeros((h, w), dtype=np.int64)
+    if pri_strength and sec_strength:
+        mn = px.copy()
+        mx = px.copy()
+        u = px.astype(np.uint64)
+
+        def track(v):
+            nonlocal mn, mx
+            uv = v.astype(np.uint64)
+            mn = np.where(uv < mn.astype(np.uint64), v, mn)
+            mx = np.maximum(v, mx)
+
+        pri_tap_k = pri_tap
+        for k in range(2):
+            oy, ox = _off(CDEF_DIRECTIONS[direction + 2][k])
+            p0 = win(oy, ox)
+            p1 = win(-oy, -ox)
+            s += pri_tap_k * (
+                _constrain_arr(p0 - px, pri_strength, pri_shift)
+                + _constrain_arr(p1 - px, pri_strength, pri_shift)
+            )
+            pri_tap_k = (pri_tap_k & 3) | 2
+            track(p0)
+            track(p1)
+            oy2, ox2 = _off(CDEF_DIRECTIONS[direction + 4][k])
+            oy3, ox3 = _off(CDEF_DIRECTIONS[direction + 0][k])
+            sec_tap = 2 - k
+            for sv in (win(oy2, ox2), win(-oy2, -ox2), win(oy3, ox3), win(-oy3, -ox3)):
+                s += sec_tap * _constrain_arr(sv - px, sec_strength, sec_shift)
+                track(sv)
+        out = px + ((s - (s < 0) + 8) >> 4)
+        out = np.maximum(mn, np.minimum(out, mx))
+        dst[y0 : y0 + h, x0 : x0 + w] = out
+    elif pri_strength:
+        pri_tap_k = pri_tap
+        for k in range(2):
+            oy, ox = _off(CDEF_DIRECTIONS[direction + 2][k])
+            s += pri_tap_k * (
+                _constrain_arr(win(oy, ox) - px, pri_strength, pri_shift)
+                + _constrain_arr(win(-oy, -ox) - px, pri_strength, pri_shift)
+            )
+            pri_tap_k = (pri_tap_k & 3) | 2
+        dst[y0 : y0 + h, x0 : x0 + w] = px + ((s - (s < 0) + 8) >> 4)
+    else:
+        for k in range(2):
+            oy2, ox2 = _off(CDEF_DIRECTIONS[direction + 4][k])
+            oy3, ox3 = _off(CDEF_DIRECTIONS[direction + 0][k])
+            sec_tap = 2 - k
+            for sv in (win(oy2, ox2), win(-oy2, -ox2), win(oy3, ox3), win(-oy3, -ox3)):
+                s += sec_tap * _constrain_arr(sv - px, sec_strength, sec_shift)
+        dst[y0 : y0 + h, x0 : x0 + w] = px + ((s - (s < 0) + 8) >> 4)
 
 
 def _umin(a, b):

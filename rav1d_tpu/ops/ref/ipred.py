@@ -365,20 +365,22 @@ def ipred_filter(dst, tl, off, w, h, filt_idx, max_w, max_h, bpc):
     out[0, 1:] = tl[off + 1 : off + 1 + w]
     out[1:, 0] = tl[off - h : off][::-1][:h]
     out[0, 0] = tl[off]
+    # 2x4 blocks depend on the previous row/column of OUTPUT pixels, so rows
+    # of blocks are sequential; blocks within a row-pair depend on the left
+    # block's rightmost column, so x is sequential too — but all 8 output
+    # taps of one block are computed at once.
+    fm = np.asarray(filt, dtype=np.int64)  # (8, 7)
     for y in range(0, h, 2):
         for x in range(0, w, 4):
-            p0 = out[y, x]
-            p1, p2, p3, p4 = out[y, x + 1], out[y, x + 2], out[y, x + 3], out[y, x + 4]
-            p5 = out[y + 1, x]
-            p6 = out[y + 2, x]
-            ps = (p0, p1, p2, p3, p4, p5, p6)
-            for yy in range(2):
-                for xx in range(4):
-                    pos = yy * 4 + xx
-                    acc = int(sum(int(filt[pos][k]) * int(ps[k]) for k in range(7)))
-                    out[y + 1 + yy, x + 1 + xx] = min(
-                        max((acc + 8) >> 4, 0), pixel_max
-                    )
+            ps = np.array(
+                [out[y, x], out[y, x + 1], out[y, x + 2], out[y, x + 3],
+                 out[y, x + 4], out[y + 1, x], out[y + 2, x]],
+                dtype=np.int64,
+            )
+            acc = fm @ ps  # (8,)
+            vals = np.clip((acc + 8) >> 4, 0, pixel_max)
+            out[y + 1, x + 1 : x + 5] = vals[:4]
+            out[y + 2, x + 1 : x + 5] = vals[4:]
     dst[:, :] = out[1:, 1:].astype(dst.dtype)
 
 
