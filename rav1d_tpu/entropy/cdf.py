@@ -137,131 +137,143 @@ class CdfContext:
 
     # -- post-tile refresh (rav1d_cdf_thread_update, src/cdf.rs:4906) -------
 
-    def updated(self, frame_hdr) -> "CdfContext":
-        """Return a copy with adaptation counters zeroed, mirroring the
-        reference's per-table update list exactly (counter slot = n_symbols)."""
-        dst = self.clone()
+    def updated(self, frame_hdr, in_cdf) -> "CdfContext":
+        """Post-frame CDF refresh (rav1d_cdf_thread_update, src/cdf.rs:4906).
+
+        The refreshed context starts from the frame's INPUT cdf (decode.c:3162
+        dav1d_cdf_thread_copy(out, in)); only the listed tables are copied
+        from the tile state, with their adaptation counters zeroed. Tables
+        outside the list (e.g. mv.joint adapted via intrabc on intra frames)
+        revert to their pre-frame values.
+        """
+        dst = in_cdf.clone()
         m, coef = dst.m, dst.coef
+        sm, scoef = self.m, self.coef
 
-        def cdf1(lst, n):
-            lst[n] = 0
+        def cdf1(dl, sl, n):
+            dl[:] = sl[:]
+            dl[n] = 0
 
-        def cdf2(lsts, n):
-            for l in lsts:
-                l[n] = 0
+        def cdf2(dls, sls, n):
+            for dl, sl in zip(dls, sls):
+                dl[:] = sl[:]
+                dl[n] = 0
 
-        def cdf3(lsts, n):
-            for l2 in lsts:
-                cdf2(l2, n)
+        def cdf3(dls, sls, n):
+            for d2, s2 in zip(dls, sls):
+                cdf2(d2, s2, n)
 
-        def cdf4(lsts, n):
-            for l3 in lsts:
-                cdf3(l3, n)
+        def cdf4(dls, sls, n):
+            for d3, s3 in zip(dls, sls):
+                cdf3(d3, s3, n)
 
-        def bit0(lst):
-            lst[1] = 0
+        def bit0(dl, sl):
+            dl[:] = sl[:]
+            dl[1] = 0
 
-        def bit1(lsts):
-            for l in lsts:
-                l[1] = 0
+        def bit1(dls, sls):
+            for dl, sl in zip(dls, sls):
+                dl[:] = sl[:]
+                dl[1] = 0
 
-        def bit2(lsts):
-            for l2 in lsts:
-                bit1(l2)
+        def bit2(dls, sls):
+            for d2, s2 in zip(dls, sls):
+                bit1(d2, s2)
 
-        def bit3(lsts):
-            for l3 in lsts:
-                bit2(l3)
+        def bit3(dls, sls):
+            for d3, s3 in zip(dls, sls):
+                bit2(d3, s3)
 
-        bit1(m.use_filter_intra)
-        cdf1(m.filter_intra, 4)
+        bit1(m.use_filter_intra, sm.use_filter_intra)
+        cdf1(m.filter_intra, sm.filter_intra, 4)
         for k in range(2):
-            cdf2(m.uv_mode[k], N_UV_INTRA_PRED_MODES - 1 - (1 if k == 0 else 0))
-        cdf2(m.angle_delta, 6)
+            cdf2(m.uv_mode[k], sm.uv_mode[k], N_UV_INTRA_PRED_MODES - 1 - (1 if k == 0 else 0))
+        cdf2(m.angle_delta, sm.angle_delta, 6)
         for k in range(N_TX_SIZES - 1):
-            cdf2(m.txsz[k], min(k + 1, 2))
-        cdf3(m.txtp_intra1, 6)
-        cdf3(m.txtp_intra2, 4)
-        bit1(m.skip)
+            cdf2(m.txsz[k], sm.txsz[k], min(k + 1, 2))
+        cdf3(m.txtp_intra1, sm.txtp_intra1, 6)
+        cdf3(m.txtp_intra2, sm.txtp_intra2, 4)
+        bit1(m.skip, sm.skip)
         for k in range(N_BL):
-            cdf2(m.partition[k], PARTITION_TYPE_COUNT[k])
-        bit2(coef.skip)
-        cdf3(coef.eob_bin_16, 4)
-        cdf3(coef.eob_bin_32, 5)
-        cdf3(coef.eob_bin_64, 6)
-        cdf3(coef.eob_bin_128, 7)
-        cdf3(coef.eob_bin_256, 8)
-        cdf2(coef.eob_bin_512, 9)
-        cdf2(coef.eob_bin_1024, 10)
-        bit3(coef.eob_hi_bit)
-        cdf4(coef.eob_base_tok, 2)
-        cdf4(coef.base_tok, 3)
-        bit2(coef.dc_sign)
-        cdf4(coef.br_tok, 3)
-        cdf2(m.seg_id, MAX_SEGMENTS - 1)
-        cdf1(m.cfl_sign, 7)
-        cdf2(m.cfl_alpha, 15)
-        bit0(m.restore_wiener)
-        bit0(m.restore_sgrproj)
-        cdf1(m.restore_switchable, 2)
-        cdf1(m.delta_q, 3)
-        cdf2(m.delta_lf, 3)
-        bit2(m.pal_y)
-        bit1(m.pal_uv)
-        cdf3(m.pal_sz, 6)
+            cdf2(m.partition[k], sm.partition[k], PARTITION_TYPE_COUNT[k])
+        bit2(coef.skip, scoef.skip)
+        cdf3(coef.eob_bin_16, scoef.eob_bin_16, 4)
+        cdf3(coef.eob_bin_32, scoef.eob_bin_32, 5)
+        cdf3(coef.eob_bin_64, scoef.eob_bin_64, 6)
+        cdf3(coef.eob_bin_128, scoef.eob_bin_128, 7)
+        cdf3(coef.eob_bin_256, scoef.eob_bin_256, 8)
+        cdf2(coef.eob_bin_512, scoef.eob_bin_512, 9)
+        cdf2(coef.eob_bin_1024, scoef.eob_bin_1024, 10)
+        bit3(coef.eob_hi_bit, scoef.eob_hi_bit)
+        cdf4(coef.eob_base_tok, scoef.eob_base_tok, 2)
+        cdf4(coef.base_tok, scoef.base_tok, 3)
+        bit2(coef.dc_sign, scoef.dc_sign)
+        cdf4(coef.br_tok, scoef.br_tok, 3)
+        cdf2(m.seg_id, sm.seg_id, MAX_SEGMENTS - 1)
+        cdf1(m.cfl_sign, sm.cfl_sign, 7)
+        cdf2(m.cfl_alpha, sm.cfl_alpha, 15)
+        bit0(m.restore_wiener, sm.restore_wiener)
+        bit0(m.restore_sgrproj, sm.restore_sgrproj)
+        cdf1(m.restore_switchable, sm.restore_switchable, 2)
+        cdf1(m.delta_q, sm.delta_q, 3)
+        cdf2(m.delta_lf, sm.delta_lf, 3)
+        bit2(m.pal_y, sm.pal_y)
+        bit1(m.pal_uv, sm.pal_uv)
+        cdf3(m.pal_sz, sm.pal_sz, 6)
         for l in range(2):
             for k in range(7):
-                cdf2(m.color_map[l][k], k + 1)
-        bit2(m.txpart)
-        cdf2(m.txtp_inter1, 15)
-        cdf1(m.txtp_inter2, 11)
-        bit1(m.txtp_inter3)
+                cdf2(m.color_map[l][k], sm.color_map[l][k], k + 1)
+        bit2(m.txpart, sm.txpart)
+        cdf2(m.txtp_inter1, sm.txtp_inter1, 15)
+        cdf1(m.txtp_inter2, sm.txtp_inter2, 11)
+        bit1(m.txtp_inter3, sm.txtp_inter3)
 
         if frame_hdr.frame_type.is_key_or_intra:
-            bit0(m.intrabc)
-            cdf1(dst.dmv.joint, N_MV_JOINTS - 1)
+            bit0(m.intrabc, sm.intrabc)
+            cdf1(dst.dmv.joint, self.dmv.joint, N_MV_JOINTS - 1)
             for k in range(2):
-                cdf1(dst.dmv.comp[k].classes, 10)
-                bit0(dst.dmv.comp[k].class0)
-                bit1(dst.dmv.comp[k].classN)
-                bit0(dst.dmv.comp[k].sign)
+                cdf1(dst.dmv.comp[k].classes, self.dmv.comp[k].classes, 10)
+                bit0(dst.dmv.comp[k].class0, self.dmv.comp[k].class0)
+                bit1(dst.dmv.comp[k].classN, self.dmv.comp[k].classN)
+                bit0(dst.dmv.comp[k].sign, self.dmv.comp[k].sign)
             return dst
 
-        bit1(m.skip_mode)
-        cdf2(m.y_mode, N_INTRA_PRED_MODES - 1)
-        cdf3(m.filter, N_SWITCHABLE_FILTERS - 1)
-        bit1(m.newmv_mode)
-        bit1(m.globalmv_mode)
-        bit1(m.refmv_mode)
-        bit1(m.drl_bit)
-        cdf2(m.comp_inter_mode, N_COMP_INTER_PRED_MODES - 1)
-        bit1(m.intra)
-        bit1(m.comp)
-        bit1(m.comp_dir)
-        bit1(m.jnt_comp)
-        bit1(m.mask_comp)
-        bit1(m.wedge_comp)
-        cdf2(m.wedge_idx, 15)
-        bit2(m.ref)
-        bit2(m.comp_fwd_ref)
-        bit2(m.comp_bwd_ref)
-        bit2(m.comp_uni_ref)
-        bit1(m.seg_pred)
-        bit1(m.interintra)
-        bit1(m.interintra_wedge)
-        cdf2(m.interintra_mode, 3)
-        cdf2(m.motion_mode, 2)
-        bit1(m.obmc)
+        bit1(m.skip_mode, sm.skip_mode)
+        cdf2(m.y_mode, sm.y_mode, N_INTRA_PRED_MODES - 1)
+        cdf3(m.filter, sm.filter, N_SWITCHABLE_FILTERS - 1)
+        bit1(m.newmv_mode, sm.newmv_mode)
+        bit1(m.globalmv_mode, sm.globalmv_mode)
+        bit1(m.refmv_mode, sm.refmv_mode)
+        bit1(m.drl_bit, sm.drl_bit)
+        cdf2(m.comp_inter_mode, sm.comp_inter_mode, N_COMP_INTER_PRED_MODES - 1)
+        bit1(m.intra, sm.intra)
+        bit1(m.comp, sm.comp)
+        bit1(m.comp_dir, sm.comp_dir)
+        bit1(m.jnt_comp, sm.jnt_comp)
+        bit1(m.mask_comp, sm.mask_comp)
+        bit1(m.wedge_comp, sm.wedge_comp)
+        cdf2(m.wedge_idx, sm.wedge_idx, 15)
+        bit2(m.ref, sm.ref)
+        bit2(m.comp_fwd_ref, sm.comp_fwd_ref)
+        bit2(m.comp_bwd_ref, sm.comp_bwd_ref)
+        bit2(m.comp_uni_ref, sm.comp_uni_ref)
+        bit1(m.seg_pred, sm.seg_pred)
+        bit1(m.interintra, sm.interintra)
+        bit1(m.interintra_wedge, sm.interintra_wedge)
+        cdf2(m.interintra_mode, sm.interintra_mode, 3)
+        cdf2(m.motion_mode, sm.motion_mode, 2)
+        bit1(m.obmc, sm.obmc)
 
-        cdf1(dst.mv.joint, N_MV_JOINTS - 1)
+        cdf1(dst.mv.joint, self.mv.joint, N_MV_JOINTS - 1)
         for k in range(2):
             c = dst.mv.comp[k]
-            cdf1(c.classes, 10)
-            bit0(c.class0)
-            bit1(c.classN)
-            cdf2(c.class0_fp, 3)
-            cdf1(c.classN_fp, 3)
-            bit0(c.class0_hp)
-            bit0(c.classN_hp)
-            bit0(c.sign)
+            sc = self.mv.comp[k]
+            cdf1(c.classes, sc.classes, 10)
+            bit0(c.class0, sc.class0)
+            bit1(c.classN, sc.classN)
+            cdf2(c.class0_fp, sc.class0_fp, 3)
+            cdf1(c.classN_fp, sc.classN_fp, 3)
+            bit0(c.class0_hp, sc.class0_hp)
+            bit0(c.classN_hp, sc.classN_hp)
+            bit0(c.sign, sc.sign)
         return dst

@@ -150,7 +150,7 @@ def decode_frame(ctx, f):
         apply_lr(f, pre_cdef)
 
     if frame_hdr.refresh_context:
-        f.out_cdf = tile_states[update_idx].cdf.updated(frame_hdr)
+        f.out_cdf = tile_states[update_idx].cdf.updated(frame_hdr, f.in_cdf)
 
 
 def _superres(f):

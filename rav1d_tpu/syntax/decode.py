@@ -769,7 +769,7 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
                 last_active_seg_id = frame_hdr.segmentation.seg_data.last_active_segid
                 b.seg_id = neg_deinterleave(
                     diff, int(pred_seg_id), last_active_seg_id + 1
-                )
+                ) & 0xFF  # reference casts to u8 before clamping
                 if b.seg_id > last_active_seg_id or b.seg_id >= 8:
                     b.seg_id = 0
             seg = frame_hdr.segmentation.seg_data.d[b.seg_id]
@@ -828,7 +828,7 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
                 last_active_seg_id = frame_hdr.segmentation.seg_data.last_active_segid
                 b.seg_id = neg_deinterleave(
                     diff, int(pred_seg_id), last_active_seg_id + 1
-                )
+                ) & 0xFF  # reference casts to u8 before clamping
                 if b.seg_id > last_active_seg_id:
                     b.seg_id = 0
             if b.seg_id >= 8:
@@ -869,6 +869,7 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
                     delta_q = -delta_q
                 delta_q *= 1 << frame_hdr.delta.q.res_log2
             ts.last_qidx = iclip(ts.last_qidx + delta_q, 1, 255)
+            trace(f"Post-delta_q[{delta_q}->{ts.last_qidx}]: r={msac.rng}")
             if frame_hdr.delta.lf.present:
                 n_lfs = (
                     (4 if layout != PixelLayout.I400 else 2)
@@ -888,6 +889,7 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
                     ts.last_delta_lf[i] = iclip(
                         ts.last_delta_lf[i] + delta_lf, -63, 63
                     )
+                    trace(f"Post-delta_lf[{i}:{delta_lf}]: r={msac.rng}")
         if ts.last_qidx == frame_hdr.quant.yac:
             ts.dq = f.dq
         elif ts.last_qidx != prev_qidx:
@@ -912,6 +914,7 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
             b.intra = 0 if msac.decode_bool_adapt(cdf.m.intra[ictx]) else 1
     elif frame_hdr.allow_intrabc:
         b.intra = 0 if msac.decode_bool_adapt(cdf.m.intrabc) else 1
+        trace(f"Post-intrabcflag[{b.intra}]: r={msac.rng}")
     else:
         b.intra = 1
 
