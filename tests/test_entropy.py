@@ -74,8 +74,11 @@ def test_cdf_update_zeroes_counters():
     assert c.m.y_mode[0][12] == 20
     hdr = FrameHeader()
     hdr.frame_type = FrameType.INTER
-    u = c.updated(hdr)
+    in_cdf = CdfContext.from_qindex(50)
+    u = c.updated(hdr, in_cdf)
     assert u.m.y_mode[0][12] == 0
     assert u.m.y_mode[0][:12] == c.m.y_mode[0][:12]
     # original untouched
     assert c.m.y_mode[0][12] == 20
+    # unlisted tables (kfym) revert to the input cdf, not the tile state
+    assert u.kfym == in_cdf.kfym
