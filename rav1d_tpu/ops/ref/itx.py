@@ -37,7 +37,8 @@ from ...syntax.levels import (
 
 
 def _clip(v, mn, mx):
-    return np.clip(v, mn, mx)
+    # method dispatch keeps these kernels generic over numpy and jax arrays
+    return v.clip(mn, mx)
 
 
 # -- 1-D kernels -----------------------------------------------------------
