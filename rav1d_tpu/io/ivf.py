@@ -182,30 +182,69 @@ class AnnexBDemuxer:
                 return None
         return val, pos
 
+    @staticmethod
+    def _parse_obu_header(buf: bytes):
+        """Returns (obu_type, obu_size) or None (annexb.rs parse_obu_header
+        with allow_implicit_size)."""
+        if not buf or buf[0] & 0x80:
+            return None
+        obu_type = (buf[0] >> 3) & 0xF
+        ext = (buf[0] >> 2) & 1
+        has_size = (buf[0] >> 1) & 1
+        pos = 1 + ext
+        if has_size:
+            r = AnnexBDemuxer._uleb(buf, pos)
+            if r is None:
+                return None
+            return obu_type, r[0]
+        return obu_type, len(buf) - pos
+
     @classmethod
     def probe(cls, data: bytes) -> bool:
-        # temporal_unit_size, frame_unit_size, obu_length then an OBU header
-        # without has_size, first OBU being a temporal delimiter of size 1.
+        # annexb.rs annexb_probe: td (size 0) first, then a seq hdr must
+        # appear before the first frame / frame hdr.
         r = cls._uleb(data, 0)
         if r is None:
             return False
         tu_size, pos = r
         r = cls._uleb(data, pos)
-        if r is None:
+        if r is None or r[0] + (r[1] - pos) > tu_size:
             return False
-        fu_size, pos = r
-        r = cls._uleb(data, pos)
-        if r is None:
+        fu_size, pos2 = r
+        tu_size -= pos2 - pos
+        r = cls._uleb(data, pos2)
+        if r is None or r[0] + (r[1] - pos2) >= fu_size:
             return False
-        obu_len, pos = r
-        if pos >= len(data) or obu_len < 1:
+        obu_unit_size, pos = r
+        tu_size -= obu_unit_size + (pos - pos2)
+        fu_size -= obu_unit_size + (pos - pos2)
+        hdr = cls._parse_obu_header(data[pos : pos + obu_unit_size])
+        if hdr is None or hdr[0] != 2 or hdr[1] > 0:
             return False
-        b0 = data[pos]
-        if b0 & 0x80:
-            return False
-        obu_type = (b0 >> 3) & 0xF
-        has_size = (b0 >> 1) & 1
-        return obu_type == 2 and has_size == 0 and obu_len == 1
+        pos += obu_unit_size
+        seq = False
+        while pos < len(data):
+            pos0 = pos
+            r = cls._uleb(data, pos)
+            if r is None or r[0] + (r[1] - pos0) > fu_size:
+                return False
+            obu_unit_size, pos = r
+            fu_size -= pos - pos0
+            hdr = cls._parse_obu_header(data[pos : pos + obu_unit_size])
+            if hdr is None:
+                return False
+            pos += obu_unit_size
+            t = hdr[0]
+            if t == 1:  # seq hdr
+                seq = True
+            elif t in (3, 6):  # frame hdr / frame
+                return seq
+            elif t in (2, 4):  # td / tile group
+                return False
+            fu_size -= obu_unit_size
+            if fu_size <= 0:
+                return False
+        return seq
 
     def __init__(self, path_or_bytes):
         if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
