@@ -44,17 +44,18 @@ _DEFAULTS = _load_defaults()
 
 
 def _to_lists(arr: np.ndarray, pad: int = 1):
-    """Convert an ndarray of CDF tables to nested mutable lists, appending
-    `pad` zero slots to each innermost vector (counter slot headroom)."""
-    if arr.ndim == 1:
-        return [int(x) for x in arr] + [0] * pad
-    return [_to_lists(sub, pad) for sub in arr]
+    """Pad the innermost axis of a CDF table by `pad` zero slots (adaptation
+    counter headroom) and return a C-contiguous uint16 array. Contiguity
+    makes every row directly addressable from the native core (ctypes)."""
+    padded = np.zeros(arr.shape[:-1] + (arr.shape[-1] + pad,), dtype=np.uint16)
+    padded[..., : arr.shape[-1]] = arr
+    return padded
 
 
 def _clone(v):
-    if isinstance(v[0], list):
-        return [_clone(x) for x in v]
-    return list(v)
+    if isinstance(v, np.ndarray):
+        return v.copy()
+    return [_clone(x) for x in v]
 
 
 class _Group(SimpleNamespace):

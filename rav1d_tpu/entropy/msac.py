@@ -1,14 +1,21 @@
 """msac: the AV1 non-adaptive-binary / multi-symbol arithmetic range decoder.
 
-Behavior parity: src/msac.rs (64-bit window variant). CDFs are mutable lists
-of u16 with the adaptation counter in the last slot; probabilities are
-15-bit, updated with rate = 4 + (count>>4) (+1 for >2 symbols).
+Behavior parity: src/msac.rs (64-bit window variant). CDFs are numpy uint16
+rows with the adaptation counter in the last slot; probabilities are 15-bit,
+updated with rate = 4 + (count>>4) (+1 for >2 symbols).
 
-This is the Python reference implementation (the correctness anchor). The
-production path is the native C++ core (native/), validated against this.
+Two implementations:
+- MsacContext: the production path, backed by the native C core
+  (native/entropy.c) via ctypes; CDF rows are passed by pointer.
+- PyMsacContext: the pure-Python reference (correctness anchor); also the
+  automatic fallback when the native library is unavailable.
 """
 
 from __future__ import annotations
+
+import ctypes
+
+from ..native import AVAILABLE as _NATIVE, LIB as _LIB, MsacState
 
 EC_PROB_SHIFT = 6
 EC_MIN_PROB = 4
@@ -16,7 +23,7 @@ EC_WIN_SIZE = 64
 _WIN_MASK = (1 << EC_WIN_SIZE) - 1
 
 
-class MsacContext:
+class PyMsacContext:
     __slots__ = ("buf", "pos", "end", "dif", "rng", "cnt", "allow_update_cdf")
 
     def __init__(self, data: bytes, disable_cdf_update: bool = False):
@@ -68,7 +75,7 @@ class MsacContext:
     def decode_bool(self, f: int) -> int:
         r = self.rng
         dif = self.dif
-        v = ((r >> 8) * (f >> EC_PROB_SHIFT) >> (7 - EC_PROB_SHIFT)) + EC_MIN_PROB
+        v = ((r >> 8) * (int(f) >> EC_PROB_SHIFT) >> (7 - EC_PROB_SHIFT)) + EC_MIN_PROB
         vw = v << (EC_WIN_SIZE - 16)
         ret = dif >= vw
         if ret:
@@ -80,12 +87,12 @@ class MsacContext:
     def decode_bool_adapt(self, cdf) -> int:
         bit = self.decode_bool(cdf[0])
         if self.allow_update_cdf:
-            count = cdf[1]
+            count = int(cdf[1])
             rate = 4 + (count >> 4)
             if bit:
-                cdf[0] += ((1 << 15) - cdf[0]) >> rate
+                cdf[0] += ((1 << 15) - int(cdf[0])) >> rate
             else:
-                cdf[0] -= cdf[0] >> rate
+                cdf[0] -= int(cdf[0]) >> rate
             cdf[1] = count + (1 if count < 32 else 0)
         return bit
 
@@ -97,7 +104,7 @@ class MsacContext:
         val = 0
         while True:
             u = v
-            v = r * (cdf[val] >> EC_PROB_SHIFT)
+            v = r * (int(cdf[val]) >> EC_PROB_SHIFT)
             v >>= 7 - EC_PROB_SHIFT
             v += EC_MIN_PROB * (n_symbols - val)
             if c >= v:
@@ -105,12 +112,12 @@ class MsacContext:
             val += 1
         self._norm(self.dif - (v << (EC_WIN_SIZE - 16)), u - v)
         if self.allow_update_cdf:
-            count = cdf[n_symbols]
+            count = int(cdf[n_symbols])
             rate = 4 + (count >> 4) + (1 if n_symbols > 2 else 0)
             for i in range(val):
-                cdf[i] += ((1 << 15) - cdf[i]) >> rate
+                cdf[i] += ((1 << 15) - int(cdf[i])) >> rate
             for i in range(val, n_symbols):
-                cdf[i] -= cdf[i] >> rate
+                cdf[i] -= int(cdf[i]) >> rate
             cdf[n_symbols] = count + (1 if count < 32 else 0)
         return val
 
@@ -164,3 +171,60 @@ def _inv_recenter(r: int, v: int) -> int:
     if (v & 1) == 0:
         return (v >> 1) + r
     return r - ((v + 1) >> 1)
+
+
+class NativeMsacContext:
+    """C-backed msac state; cdf arguments are numpy uint16 rows (views into
+    the contiguous CdfContext tables) passed by pointer."""
+
+    __slots__ = ("_s", "_sp", "_buf", "allow_update_cdf")
+
+    def __init__(self, data: bytes, disable_cdf_update: bool = False):
+        self._buf = bytes(data)  # keep alive: C retains the pointer
+        self._s = MsacState()
+        self._sp = ctypes.byref(self._s)
+        _LIB.msac_init(self._sp, self._buf, len(self._buf), disable_cdf_update)
+        self.allow_update_cdf = not disable_cdf_update
+
+    @property
+    def rng(self):
+        return self._s.rng
+
+    @property
+    def cnt(self):
+        return self._s.cnt
+
+    @property
+    def dif(self):
+        return self._s.dif
+
+    @property
+    def pos(self):
+        return self._s.pos
+
+    def decode_bool_equi(self) -> int:
+        return _LIB.msac_decode_bool_equi(self._sp)
+
+    def decode_bool(self, f: int) -> int:
+        return _LIB.msac_decode_bool(self._sp, int(f))
+
+    def decode_bool_adapt(self, cdf) -> int:
+        return _LIB.msac_decode_bool_adapt(self._sp, cdf.ctypes.data)
+
+    def decode_symbol_adapt(self, cdf, n_symbols: int) -> int:
+        return _LIB.msac_decode_symbol_adapt(self._sp, cdf.ctypes.data, n_symbols)
+
+    def decode_hi_tok(self, cdf) -> int:
+        return _LIB.msac_decode_hi_tok(self._sp, cdf.ctypes.data)
+
+    def decode_bools(self, n: int) -> int:
+        return _LIB.msac_decode_bools(self._sp, n)
+
+    def decode_uniform(self, n: int) -> int:
+        return _LIB.msac_decode_uniform(self._sp, n)
+
+    def decode_subexp(self, ref: int, n: int, k: int) -> int:
+        return _LIB.msac_decode_subexp(self._sp, ref, n, k)
+
+
+MsacContext = NativeMsacContext if _NATIVE else PyMsacContext

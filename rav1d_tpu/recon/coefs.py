@@ -105,7 +105,124 @@ def read_golomb(msac) -> int:
     return val - 1
 
 
-def decode_coefs(
+from ..native import AVAILABLE as _NATIVE
+
+if _NATIVE:
+    import ctypes
+
+    from ..native import LIB as _LIB, CoefCdfPtrs as _CCdf, CoefCallParams as _CP
+
+    _SKIP_CTX_NP = np.ascontiguousarray(np.asarray(SKIP_CTX, dtype=np.uint8))
+    _LO_CTX_NP = np.ascontiguousarray(np.asarray(LO_CTX_OFFSETS, dtype=np.uint8))
+    _TXSET_NP = np.asarray(TX_TYPES_PER_SET, dtype=np.uint8)
+    _TXCLS_NP = np.asarray(TX_TYPE_CLASS, dtype=np.uint8)
+
+    def _coef_cdf_ptrs(coef):
+        """Cache a CoefCdfPtrs struct on the cdf coef group (tables are
+        contiguous numpy arrays whose buffers are stable for its lifetime)."""
+        ptrs = getattr(coef, "_native_ptrs", None)
+        if ptrs is None:
+            ptrs = _CCdf()
+            for name, _ in _CCdf._fields_:
+                ptrs.__setattr__(name, getattr(coef, name).ctypes.data)
+            coef._native_ptrs = ptrs
+        return ptrs
+
+    def decode_coefs(
+        f, ts, a, l, a_off, l_off, tx, bs, b, intra, plane, cf, txtp_in=DCT_DCT
+    ):
+        """Native decode_coefs: txtp-cdf selection stays host-side; the
+        symbol loop runs in C (native/entropy.c dav1d_decode_coefs)."""
+        cdf = ts.cdf
+        chroma = 1 if plane else 0
+        frame_hdr = f.frame_hdr
+        lossless = frame_hdr.segmentation.lossless[b.seg_id]
+        t_dim = TXFM_DIMENSIONS[tx]
+        layout = int(f.cur.layout)
+
+        p = _CP()
+        p.tdim_lw = t_dim.lw
+        p.tdim_lh = t_dim.lh
+        p.tdim_w = t_dim.w
+        p.tdim_h = t_dim.h
+        p.tdim_ctx = t_dim.ctx
+        p.tdim_min = t_dim.min
+        p.tdim_max = t_dim.max
+        b_dim = BLOCK_DIMENSIONS[bs]
+        p.bdim_lw = b_dim[2]
+        p.bdim_lh = b_dim[3]
+        p.chroma = chroma
+        p.ss_ver = 1 if layout == 1 else 0
+        p.ss_hor = 1 if layout != 3 else 0
+        nonsquare = 1 if tx >= RTX_4X8 else 0
+        p.ctx_off_idx = nonsquare + (tx & nonsquare)
+        p.idtx_val = IDTX
+        p.skip_txtp = WHT_WHT if lossless else DCT_DCT
+
+        # txtp selection (mirrors the Python reference branch for branch)
+        txtp_cdf = None
+        if lossless:
+            p.txtp_mode = 0
+            p.txtp_fixed = WHT_WHT
+        elif t_dim.max + intra >= TX_64X64:
+            p.txtp_mode = 0
+            p.txtp_fixed = DCT_DCT
+        elif chroma:
+            p.txtp_mode = 0
+            p.txtp_fixed = (
+                TXTP_FROM_UVMODE[b.uv_mode]
+                if intra
+                else get_uv_inter_txtp(t_dim, txtp_in)
+            )
+        elif frame_hdr.segmentation.qidx[b.seg_id] == 0:
+            p.txtp_mode = 0
+            p.txtp_fixed = DCT_DCT
+        elif intra:
+            y_mode_nofilt = (
+                FILTER_MODE_TO_Y_MODE[b.y_angle]
+                if b.y_mode == FILTER_PRED
+                else b.y_mode
+            )
+            if frame_hdr.reduced_txtp_set or t_dim.min == TX_16X16:
+                p.txtp_mode = 1
+                txtp_cdf = cdf.m.txtp_intra2[t_dim.min][y_mode_nofilt]
+            else:
+                p.txtp_mode = 2
+                txtp_cdf = cdf.m.txtp_intra1[t_dim.min][y_mode_nofilt]
+        elif frame_hdr.reduced_txtp_set or t_dim.max == TX_32X32:
+            p.txtp_mode = 3
+            txtp_cdf = cdf.m.txtp_inter3[t_dim.min]
+        elif t_dim.min == TX_16X16:
+            p.txtp_mode = 4
+            txtp_cdf = cdf.m.txtp_inter2
+        else:
+            p.txtp_mode = 5
+            txtp_cdf = cdf.m.txtp_inter1[t_dim.min]
+        p.txtp_cdf = 0 if txtp_cdf is None else txtp_cdf.ctypes.data
+
+        dq = ts.dq[b.seg_id][plane]
+        p.dq_dc = int(dq[0])
+        p.dq_ac = int(dq[1])
+        p.dq_shift = max(0, t_dim.ctx - 2)
+        p.cf_max = (1 << (f.cur.bpc + 7)) - 1
+        p.a = a.ctypes.data
+        p.a_off = a_off
+        p.l = l.ctypes.data
+        p.l_off = l_off
+        p.skip_ctx_tbl = _SKIP_CTX_NP.ctypes.data
+        p.lo_ctx_offsets = _LO_CTX_NP.ctypes.data
+        p.tx_types_per_set = _TXSET_NP.ctypes.data
+        p.tx_type_class = _TXCLS_NP.ctypes.data
+        p.scan = SCANS[tx].ctypes.data
+        qm_tbl = f.qm[tx][plane]
+        p.qm = 0 if qm_tbl is None else qm_tbl.ctypes.data
+        p.cf = cf.ctypes.data
+
+        _LIB.dav1d_decode_coefs(ts.msac._sp, ctypes.byref(_coef_cdf_ptrs(cdf.coef)), ctypes.byref(p))
+        return p.eob, p.txtp, p.cf_ctx
+
+
+def decode_coefs_py(
     f, ts, a, l, a_off, l_off, tx, bs, b, intra, plane, cf, txtp_in=DCT_DCT
 ):
     """Decode one transform block's coefficients into cf (int32 array in
@@ -380,3 +497,7 @@ def decode_coefs(
 
     cf_ctx = min(cul_level, 63) | dc_sign_level
     return eob, txtp, cf_ctx
+
+
+if not _NATIVE:
+    decode_coefs = decode_coefs_py  # noqa: F811 — pure-Python fallback

@@ -7,6 +7,8 @@ absolute-in-tile bx4; `l` (left) arrays cover one superblock column (32
 
 from __future__ import annotations
 
+import numpy as np
+
 from .levels import *  # noqa: F403
 
 COMP_NONE = 0  # comp_type sentinel in context arrays (0 = no comp/intra)
@@ -23,8 +25,12 @@ class BlockContext:
 
     def __init__(self, n: int = 32):
         self.mode = [0] * n
-        self.lcoef = [0x40] * n
-        self.ccoef = [[0x40] * n, [0x40] * n]
+        # lcoef/ccoef are numpy so the native decode_coefs reads them by ptr
+        self.lcoef = np.full(n, 0x40, dtype=np.uint8)
+        self.ccoef = [
+            np.full(n, 0x40, dtype=np.uint8),
+            np.full(n, 0x40, dtype=np.uint8),
+        ]
         self.seg_pred = [0] * n
         self.skip = [0] * n
         self.skip_mode = [0] * n
@@ -65,6 +71,7 @@ def get_partition_ctx(a, l, bl, yb8, xb8):
 
 
 def gather_left_partition_prob(cdf, bl):
+    cdf = [int(v) for v in cdf]
     # sum of probabilities of partitions with horizontal splits
     out = cdf[PARTITION_H - 1] - cdf[PARTITION_H]
     out += cdf[PARTITION_SPLIT - 1] - cdf[PARTITION_T_LEFT_SPLIT]
@@ -74,6 +81,7 @@ def gather_left_partition_prob(cdf, bl):
 
 
 def gather_top_partition_prob(cdf, bl):
+    cdf = [int(v) for v in cdf]
     out = cdf[PARTITION_V - 1] - cdf[PARTITION_T_TOP_SPLIT]
     out += cdf[PARTITION_T_LEFT_SPLIT - 1]
     if bl != BL_128X128:
