@@ -429,65 +429,57 @@ def w_mask(dst, dy, dx, tmp1, tmp2, w, h, sign, ss_hor, ss_ver, bpc):
     return m.astype(np.uint8)
 
 
+_WARP_F = None
+
+
+def _warp_filters():
+    global _WARP_F
+    if _WARP_F is None:
+        _WARP_F = np.asarray(MC_WARP_FILTER, dtype=np.int64)
+    return _WARP_F
+
+
+def _warp_pass(src, sy, sx, abcd, mx, my, ib):
+    """Shared warp passes: returns (vert_acc (8,8) int64 pre-shift).
+
+    Vectorized gather formulation: per-pixel filter phases tmx/tmy are
+    affine in (x, y), so the 64-phase warp taps are fetched with one fancy
+    index and applied over sliding windows.
+    """
+    F = _warp_filters()
+    ys = np.arange(15, dtype=np.int64)[:, None]
+    xs = np.arange(8, dtype=np.int64)[None, :]
+    tmx = int(mx) + ys * int(abcd[1]) + xs * int(abcd[0])
+    taps = F[64 + ((tmx + 512) >> 10)]  # (15, 8, 8)
+    region = np.asarray(src[sy - 3 : sy + 12, sx - 3 : sx + 12], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(region, 8, axis=1)
+    sh = 7 - ib
+    mid = _i16(((taps * win).sum(axis=2) + ((1 << sh) >> 1)) >> sh)
+
+    ys8 = np.arange(8, dtype=np.int64)[:, None]
+    tmy = int(my) + ys8 * int(abcd[3]) + xs * int(abcd[2])
+    vtaps = F[64 + ((tmy + 512) >> 10)]  # (8, 8, 8)
+    vwin = np.lib.stride_tricks.sliding_window_view(mid, 8, axis=0)
+    return (vtaps * vwin).sum(axis=2)
+
+
 def warp_affine_8x8(dst, dy, dx, src, sy, sx, abcd, mx, my, bpc):
     """mc.rs warp_affine_8x8_rust:896. Filters a 8x8 block."""
     ib = intermediate_bits(bpc)
     pxmax = (1 << bpc) - 1
-    mid = np.zeros((15, 8), dtype=np.int64)
-    for y in range(15):
-        tmx = mx
-        row = src[sy - 3 + y]
-        for x in range(8):
-            filt = MC_WARP_FILTER[64 + ((tmx + 512) >> 10)]
-            v = 0
-            for k in range(8):
-                v += int(filt[k]) * int(row[sx + x + k - 3])
-            sh = 7 - ib
-            mid[y, x] = (v + ((1 << sh) >> 1)) >> sh
-            tmx += int(abcd[0])
-        mx += int(abcd[1])
-    mid = _i16(mid)
-    for y in range(8):
-        tmy = my
-        for x in range(8):
-            filt = MC_WARP_FILTER[64 + ((tmy + 512) >> 10)]
-            v = 0
-            for k in range(8):
-                v += int(filt[k]) * int(mid[y + k, x])
-            sh = 7 + ib
-            dst[dy + y, dx + x] = min(max((v + ((1 << sh) >> 1)) >> sh, 0), pxmax)
-            tmy += int(abcd[2])
-        my += int(abcd[3])
+    v = _warp_pass(src, sy, sx, abcd, mx, my, ib)
+    sh = 7 + ib
+    dst[dy : dy + 8, dx : dx + 8] = np.clip(
+        (v + ((1 << sh) >> 1)) >> sh, 0, pxmax
+    )
 
 
 def warp_affine_8x8t(tmp, ty, tx, src, sy, sx, abcd, mx, my, bpc):
     """mc.rs warp_affine_8x8t_rust:980: prep-domain warp into tmp."""
     ib = intermediate_bits(bpc)
     bias = prep_bias(bpc)
-    mid = np.zeros((15, 8), dtype=np.int64)
-    for y in range(15):
-        tmx = mx
-        row = src[sy - 3 + y]
-        for x in range(8):
-            filt = MC_WARP_FILTER[64 + ((tmx + 512) >> 10)]
-            v = 0
-            for k in range(8):
-                v += int(filt[k]) * int(row[sx + x + k - 3])
-            sh = 7 - ib
-            mid[y, x] = (v + ((1 << sh) >> 1)) >> sh
-            tmx += int(abcd[0])
-        mx += int(abcd[1])
-    mid = _i16(mid)
-    for y in range(8):
-        tmy = my
-        for x in range(8):
-            filt = MC_WARP_FILTER[64 + ((tmy + 512) >> 10)]
-            v = 0
-            for k in range(8):
-                v += int(filt[k]) * int(mid[y + k, x])
-            tmp[ty + y, tx + x] = _i16(((v + 64) >> 7) - bias)
-            tmy += int(abcd[2])
-        my += int(abcd[3])
+    v = _warp_pass(src, sy, sx, abcd, mx, my, ib)
+    tmp[ty : ty + 8, tx : tx + 8] = _i16(((v + 64) >> 7) - bias)
 
 
 def emu_edge(bw, bh, iw, ih, x, y, ref):
