@@ -106,6 +106,141 @@ def find_dir(img, bpc):
     return best_dir, var
 
 
+_FD_PROJ = None
+
+
+def _find_dir_proj():
+    """One-hot projection matrices (90, 64) stacked for all 8 partial sums."""
+    global _FD_PROJ
+    if _FD_PROJ is None:
+        idx = _find_dir_idx()
+        sizes = [15, 11, 8, 11, 15, 11, 8, 11]
+        rows = []
+        for d in range(8):
+            m = np.zeros((sizes[d], 64), dtype=np.int64)
+            m[idx[d], np.arange(64)] = 1
+            rows.append(m)
+        _FD_PROJ = np.concatenate(rows, axis=0)
+    return _FD_PROJ
+
+
+def find_dir_blocks(blocks, bpc):
+    """Batched find_dir: blocks (N,8,8) -> (dirs (N,), vars (N,)).
+    Identical u32-wrapping cost arithmetic to `find_dir`."""
+    bdm8 = bpc - 8
+    N = blocks.shape[0]
+    px = ((np.asarray(blocks, dtype=np.int64) >> bdm8) - 128).reshape(N, 64)
+    proj = _find_dir_proj()
+    part = px @ proj.T  # (N, 90)
+    o = np.cumsum([0, 15, 11, 8, 11, 15, 11, 8, 11])
+    diag = [part[:, o[0] : o[1]], part[:, o[4] : o[5]]]
+    alt = [part[:, o[1] : o[2]], part[:, o[3] : o[4]], part[:, o[5] : o[6]], part[:, o[7] : o[8]]]
+    hv = [part[:, o[2] : o[3]], part[:, o[6] : o[7]]]
+    M = 0xFFFFFFFF
+    div_table = np.array([840, 420, 280, 210, 168, 140, 120], dtype=np.int64)
+    cost = np.zeros((N, 8), dtype=np.int64)
+    cost[:, 2] = ((hv[0] ** 2).sum(axis=1) * 105) & M
+    cost[:, 6] = ((hv[1] ** 2).sum(axis=1) * 105) & M
+    for j, d in enumerate(diag):
+        c = ((d[:, :7] ** 2 + d[:, 14:7:-1] ** 2) * div_table).sum(axis=1)
+        cost[:, j * 4] = (c + d[:, 7] ** 2 * 105) & M
+    for n, a in enumerate(alt):
+        c = ((a[:, 3:8] ** 2).sum(axis=1) * 105) & M
+        c = (c + ((a[:, :3] ** 2 + a[:, 10:7:-1] ** 2) * div_table[1::2]).sum(axis=1)) & M
+        cost[:, n * 2 + 1] = c
+    best_dir = np.argmax(cost, axis=1)
+    best_cost = cost[np.arange(N), best_dir]
+    var = ((best_cost - cost[np.arange(N), best_dir ^ 4]) & M) >> 10
+    return best_dir.astype(np.int32), var
+
+
+_ULOG2_LUT = None
+
+
+def _ulog2_arr(v):
+    global _ULOG2_LUT
+    if _ULOG2_LUT is None:
+        _ULOG2_LUT = np.array([0] + [i.bit_length() - 1 for i in range(1, 4096)], dtype=np.int32)
+    return _ULOG2_LUT[v]
+
+
+def adjust_strength_arr(strength, var):
+    """Vectorized adjust_strength: strength (N,), var (N,) -> (N,)."""
+    v6 = var >> 6
+    i = np.minimum(_ulog2_arr(np.minimum(v6, 4095)), 12)
+    adj = (strength * (4 + i) + 8) >> 4
+    return np.where(var == 0, 0, adj).astype(np.int64)
+
+
+def cdef_filter_blocks(windows, pri, sec, direction, damping, bpc):
+    """Batched CDEF filter. windows: (N, h+4, w+4) int32 with MISSING in
+    unavailable border cells; pri/sec/direction: (N,) ints; damping scalar.
+    Returns (N, h, w) filtered output (same selection/rounding/clip
+    semantics as `cdef_filter_block`, vectorized over N)."""
+    N, hp, wp = windows.shape
+    h, w = hp - 4, wp - 4
+    bdm8 = bpc - 8
+    pri = np.asarray(pri, dtype=np.int64)
+    sec = np.asarray(sec, dtype=np.int64)
+    direction = np.asarray(direction, dtype=np.int64)
+    win = np.asarray(windows, dtype=np.int64)
+
+    pri_tap0 = 4 - ((pri >> bdm8) & 1)
+    pri_shift = np.maximum(0, damping - _ulog2_arr(pri.astype(np.int64)))
+    sec_shift = np.where(sec > 0, damping - _ulog2_arr(sec), 0)
+
+    px = win[:, 2 : 2 + h, 2 : 2 + w]
+    nidx = np.arange(N)[:, None, None]
+    ri = np.arange(h)[None, :, None]
+    ci = np.arange(w)[None, None, :]
+
+    def gather(oy, ox):
+        return win[nidx, 2 + oy[:, None, None] + ri, 2 + ox[:, None, None] + ci]
+
+    def con(diff, thr, shift):
+        adiff = np.abs(diff)
+        v = np.minimum(adiff, np.maximum(0, thr[:, None, None] - (adiff >> shift[:, None, None])))
+        return np.where(diff < 0, -v, v)
+
+    s = np.zeros((N, h, w), dtype=np.int64)
+    mn = px.copy()
+    mx = px.copy()
+
+    def track(v):
+        nonlocal mn, mx
+        uv = v.astype(np.uint64)
+        mn = np.where(uv < mn.astype(np.uint64), v, mn)
+        mx = np.maximum(v, mx)
+
+    dirs = np.asarray(CDEF_DIRECTIONS)
+    pri_tap_k = pri_tap0.copy()
+    for k in range(2):
+        o = dirs[direction + 2, k].astype(np.int64)
+        dy = (o + 6) // 12
+        dx = o - dy * 12
+        p0 = gather(dy, dx)
+        p1 = gather(-dy, -dx)
+        s += pri_tap_k[:, None, None] * (
+            con(p0 - px, pri, pri_shift) + con(p1 - px, pri, pri_shift)
+        )
+        pri_tap_k = (pri_tap_k & 3) | 2
+        track(p0)
+        track(p1)
+        sec_tap = 2 - k
+        for row_off in (4, 0):
+            o2 = dirs[direction + row_off, k].astype(np.int64)
+            dy2 = (o2 + 6) // 12
+            dx2 = o2 - dy2 * 12
+            for sy, sx in ((dy2, dx2), (-dy2, -dx2)):
+                sv = gather(sy, sx)
+                s += sec_tap * con(sv - px, sec, sec_shift)
+                track(sv)
+    out = px + ((s - (s < 0) + 8) >> 4)
+    both = (pri > 0) & (sec > 0)
+    clipped = np.maximum(mn, np.minimum(out, mx))
+    return np.where(both[:, None, None], clipped, out)
+
+
 def adjust_strength(strength, var):
     if var == 0:
         return 0

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..headers import PixelLayout
 from ..tables.block_tables import BLOCK_DIMENSIONS, TXFM_DIMENSIONS
-from ..ops.ref.lf import calc_eih, filter_edge_h, filter_edge_v
+from ..ops.ref.lf import WRITE_EXTENT, calc_eih, filter_lines_batch
 
 
 def init_lf_maps(f):
@@ -293,33 +293,53 @@ def apply_loopfilter(f):
         and (frame_hdr.loopfilter.level_u or frame_hdr.loopfilter.level_v)
     )
 
+    e_arr = np.asarray(e_lut, dtype=np.int32)
+    i_arr = np.asarray(i_lut, dtype=np.int32)
+
     def run(plane, cls_map, comp, nh4, nw4, horizontal):
-        for y in range(nh4):
-            for x in range(nw4):
-                cls_ = cls_map[y, x]
-                if not cls_:
-                    continue
-                if horizontal:
-                    if y == 0:
-                        continue
-                    L = int(lvl[y, x, comp]) or int(lvl[y - 1, x, comp])
-                else:
-                    if x == 0:
-                        continue
-                    L = int(lvl[y, x, comp]) or int(lvl[y, x - 1, comp])
-                if not L:
-                    continue
-                H = L >> 4
-                E = e_lut[L]
-                I = i_lut[L]
-                if comp < 2:  # luma (comp 0=vert lvl, 1=horiz lvl)
-                    wd = 4 << (cls_ - 1)
-                else:  # chroma
-                    wd = 4 + 2 * (cls_ - 1)
-                if horizontal:
-                    filter_edge_h(plane, y * 4, x * 4, E, I, H, wd, bpc)
-                else:
-                    filter_edge_v(plane, y * 4, x * 4, E, I, H, wd, bpc)
+        """Batched mask-driven edge filtering: gather all 4-px edge segments
+        of one width class into (N*4, 16) line windows, filter in one
+        vectorized call, scatter back only the write extent. Bit-exact with
+        sequential order because AV1 deblock edges within one direction
+        never overlap (write regions are disjoint by filter-size rules)."""
+        cm = np.asarray(cls_map[:nh4, :nw4])
+        lv = lvl[:nh4, :nw4, comp].astype(np.int32)
+        # level fallback to the neighbor cell across the edge
+        lprev = np.zeros_like(lv)
+        if horizontal:
+            lprev[1:, :] = lv[:-1, :]
+            lv = np.where(lv != 0, lv, lprev)
+            lv[0, :] = 0  # no frame-top edge
+        else:
+            lprev[:, 1:] = lv[:, :-1]
+            lv = np.where(lv != 0, lv, lprev)
+            lv[:, 0] = 0  # no frame-left edge
+        active = (cm != 0) & (lv != 0)
+        if not active.any():
+            return
+        # work on the transpose for horizontal edges: same math, swapped axes
+        arr = plane.T if horizontal else plane
+        pad = np.zeros((arr.shape[0] + 16, arr.shape[1] + 16), dtype=np.int32)
+        pad[8:-8, 8:-8] = arr
+        for cls_ in (1, 2, 3):
+            sel = active & (cm == cls_)
+            if not sel.any():
+                continue
+            ys, xs = np.nonzero(sel)
+            if horizontal:
+                ys, xs = xs, ys  # transposed coords
+            L = lv.T[ys, xs] if horizontal else lv[ys, xs]
+            wd = (4 << (cls_ - 1)) if comp < 2 else (4 + 2 * (cls_ - 1))
+            # each edge is 4 lines: rows y*4..y*4+3, cols x*4-8..x*4+8
+            rows = (ys[:, None] * 4 + np.arange(4)[None, :]).reshape(-1) + 8
+            base = np.repeat(xs * 4, 4)
+            cols = base[:, None] + np.arange(16)[None, :]  # +8 pad -8 window
+            px = pad[rows[:, None], cols]
+            Lr = np.repeat(L, 4)
+            out = filter_lines_batch(px, e_arr[Lr], i_arr[Lr], Lr >> 4, wd, bpc)
+            lo, hi = WRITE_EXTENT[wd]
+            pad[rows[:, None], cols[:, lo:hi]] = out[:, lo:hi]
+        arr[:, :] = pad[8 : 8 + arr.shape[0], 8 : 8 + arr.shape[1]].astype(arr.dtype)
 
     if have_y:
         run(f.cur.y, f.lf_cls[0], 0, h4, w4, False)
