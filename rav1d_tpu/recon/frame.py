@@ -20,6 +20,13 @@ def decode_frame(ctx, f):
     seq_hdr = f.seq_hdr
     frame_hdr = f.frame_hdr
 
+    # work-item buffers: the syntax pass stores coefficients + block records
+    # here; the dense pass replays them (rav1d frame-thread analog)
+    from .store import CoefStore
+
+    f.coef_store = CoefStore(f.bw, f.bh)
+    f.work_items = []
+
     # frame-wide quant tables
     f.dq = [[[0, 0] for _ in range(3)] for _ in range(8)]
     init_quant_tables(seq_hdr, frame_hdr, frame_hdr.quant.yac, f.dq)
@@ -102,6 +109,7 @@ def decode_frame(ctx, f):
     out_cdf = None
 
     is_inter_or_switch = frame_hdr.frame_type.is_inter_or_switch
+    sbrow_marks = []  # (tile_row, sby, work-item end index) per syntax sbrow
     for tile_row in range(rows):
         sbh_start = frame_hdr.tiling.row_start_sb[tile_row]
         sbh_end = min(frame_hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
@@ -120,8 +128,11 @@ def decode_frame(ctx, f):
                 decode_tile_sbrow_wrap(t, f, ts, sby)
             if is_inter_or_switch:
                 _refmvs.save_tmvs(f.rf, 0, f.bw >> 1, by >> 1, by_end)
-            # post-filters for this sbrow would run here (deblock/cdef/lr)
-            _backup_ipred_edges(f, tile_states, tile_row, cols, sby)
+            sbrow_marks.append((tile_row, sby, len(f.work_items)))
+
+    # dense pass: replay the work items sbrow by sbrow (pass-2 analog;
+    # per-sbrow so next-row intra prediction sees its top edge backup)
+    run_dense_pass(t, f, tile_states, sbrow_marks, cols)
 
     from .lf import apply_loopfilter
     from .cdef_apply import apply_cdef
@@ -207,6 +218,39 @@ def _resize_planes(f, planes):
         )
         out.append(dst)
     return out
+
+
+def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
+    """Replay queued work items in decode order (rav1d pass-2 analog:
+    TileReconstruction replay, src/decode.rs:3895-3916). Items carry their
+    coefficient-store cursors and context snapshots, so replay is entirely
+    entropy-free dense work."""
+    from .intra import recon_b_intra
+    from .inter import recon_b_inter
+
+    store = f.coef_store
+    items = f.work_items
+    pos = 0
+    for tile_row, sby, end in sbrow_marks:
+        for wi in items[pos:end]:
+            t.bx, t.by = wi.bx, wi.by
+            store.seek(wi.tx_pos, wi.cf_pos)
+            if wi.kind == "intra":
+                if wi.pal is not None:
+                    t.pal = wi.pal
+                    t.pal_idx = wi.pal_idx
+                recon_b_intra(
+                    t, f, wi.ts, wi.bs, wi.intra_edge_flags, wi.b,
+                    phase="apply", item=wi,
+                )
+            else:
+                if wi.warpmv is not None:
+                    t.warpmv = wi.warpmv
+                t.tl_4x4_filter = wi.tl_4x4_filter
+                recon_b_inter(t, f, wi.ts, wi.bs, wi.b, phase="apply", item=wi)
+        pos = end
+        _backup_ipred_edges(f, tile_states, tile_row, cols, sby)
+    f.work_items = []
 
 
 def decode_tile_sbrow_wrap(t, f, ts, sby):

@@ -134,9 +134,15 @@ def _filter2d_of(fdir0, fdir1):
     return FILTER_2D[fdir1][fdir0]
 
 
-def obmc(f, t, ts, dst, dst_y, dst_x, b_dim, pl, bx4, by4, w4, h4):
+def obmc(f, t, ts, dst, dst_y, dst_x, b_dim, pl, bx4, by4, w4, h4, item=None):
     """recon.rs obmc:2205: overlapped block MC from top/left neighbours."""
     assert t.bx & 1 == 0 and t.by & 1 == 0
+    if item is not None:
+        af = lambda d, idx: item.a_filter[d][idx - item.bx]  # noqa: E731
+        lfi = lambda d, idx: item.l_filter[d][idx]  # noqa: E731
+    else:
+        af = lambda d, idx: ts.a.filter[d][idx]  # noqa: E731
+        lfi = lambda d, idx: t.l.filter[d][idx]  # noqa: E731
     layout = f.cur.layout
     ss_ver = 1 if (pl and layout == PixelLayout.I420) else 0
     ss_hor = 1 if (pl and layout != PixelLayout.I444) else 0
@@ -157,7 +163,7 @@ def obmc(f, t, ts, dst, dst_y, dst_x, b_dim, pl, bx4, by4, w4, h4):
                 lap = np.zeros((((oh4 * 3 + 3) >> 2) * v_mul, ow4 * h_mul),
                                dtype=dst.dtype)
                 f2d = _filter2d_of(
-                    ts.a.filter[0][t.bx + x + 1], ts.a.filter[1][t.bx + x + 1]
+                    af(0, t.bx + x + 1), af(1, t.bx + x + 1)
                 )
                 mc(
                     f, t, lap, 0, 0, ow4, (oh4 * 3 + 3) >> 2, t.bx + x, t.by, pl,
@@ -179,7 +185,7 @@ def obmc(f, t, ts, dst, dst_y, dst_x, b_dim, pl, bx4, by4, w4, h4):
                 oh4 = min(step4, b_dim[1])
                 lap = np.zeros((oh4 * v_mul, ow4 * h_mul), dtype=dst.dtype)
                 f2d = _filter2d_of(
-                    t.l.filter[0][(by4 + y + 1) & 31], t.l.filter[1][(by4 + y + 1) & 31]
+                    lfi(0, (by4 + y + 1) & 31), lfi(1, (by4 + y + 1) & 31)
                 )
                 mc(
                     f, t, lap, 0, 0, ow4, oh4, t.bx, t.by + y, pl,
@@ -233,10 +239,12 @@ def warp_affine(f, t, dst, dst_y, dst_x, prep_out, b_dim, pl, refp, wmp):
 
 
 def read_coef_tree(t, f, ts, bs, b, ytx, depth, tx_split, x_off, y_off, dst,
-                   dst_y, dst_x):
+                   dst_y, dst_x, phase="both"):
     """recon.rs read_coef_tree: var-tx recursive coefficient decode + itx."""
     from ..syntax.decode import trace
 
+    rd = phase in ("both", "read")
+    ap = phase in ("both", "apply")
     t_dim = TXFM_DIMENSIONS[ytx]
     txw, txh = t_dim.w, t_dim.h
     if (
@@ -249,53 +257,61 @@ def read_coef_tree(t, f, ts, bs, b, ytx, depth, tx_split, x_off, y_off, dst,
         txsw, txsh = sub_t_dim.w, sub_t_dim.h
         read_coef_tree(
             t, f, ts, bs, b, sub, depth + 1, tx_split, x_off * 2, y_off * 2,
-            dst, dst_y, dst_x,
+            dst, dst_y, dst_x, phase,
         )
         t.bx += txsw
         if txw >= txh and t.bx < f.bw:
             read_coef_tree(
                 t, f, ts, bs, b, sub, depth + 1, tx_split, x_off * 2 + 1,
-                y_off * 2, dst, dst_y, dst_x + 4 * txsw,
+                y_off * 2, dst, dst_y, dst_x + 4 * txsw, phase,
             )
         t.bx -= txsw
         t.by += txsh
         if txh >= txw and t.by < f.bh:
             read_coef_tree(
                 t, f, ts, bs, b, sub, depth + 1, tx_split, x_off * 2,
-                y_off * 2 + 1, dst, dst_y + 4 * txsh, dst_x,
+                y_off * 2 + 1, dst, dst_y + 4 * txsh, dst_x, phase,
             )
             t.bx += txsw
             if txw >= txh and t.bx < f.bw:
                 read_coef_tree(
                     t, f, ts, bs, b, sub, depth + 1, tx_split, x_off * 2 + 1,
-                    y_off * 2 + 1, dst, dst_y + 4 * txsh, dst_x + 4 * txsw,
+                    y_off * 2 + 1, dst, dst_y + 4 * txsh, dst_x + 4 * txsw, phase,
                 )
             t.bx -= txsw
         t.by -= txsh
     else:
         bx4 = t.bx & 31
         by4 = t.by & 31
-        cf = t.cf
-        cf[: min(t_dim.w, 8) * min(t_dim.h, 8) * 16] = 0
-        eob, txtp, cf_ctx = decode_coefs(
-            f, ts, ts.a.lcoef, t.l.lcoef, t.bx, by4, ytx, bs, b, 0, 0, cf
-        )
-        trace(f"Post-y-cf-blk[tx={ytx},txtp={txtp},eob={eob}]: r={ts.msac.rng}")
-        for i in range(min(txh, f.bh - t.by)):
-            t.l.lcoef[(by4 + i) & 31] = cf_ctx
-        for i in range(min(txw, f.bw - t.bx)):
-            ts.a.lcoef[t.bx + i] = cf_ctx
-        t.txtp_map[by4 : by4 + txh, bx4 : bx4 + txw] = txtp
-        if eob >= 0:
-            inv_txfm_add(
-                dst[dst_y : dst_y + 4 * txh, dst_x : dst_x + 4 * txw],
-                cf, eob, txw * 4, txh * 4, txtp, f.cur.bpc,
+        store = f.coef_store
+        sz = min(t_dim.w, 8) * min(t_dim.h, 8) * 16
+        if rd:
+            cf = store.alloc_cf(sz)
+            eob, txtp, cf_ctx = decode_coefs(
+                f, ts, ts.a.lcoef, t.l.lcoef, t.bx, by4, ytx, bs, b, 0, 0, cf
             )
+            store.push(eob, txtp, sz)
+            trace(f"Post-y-cf-blk[tx={ytx},txtp={txtp},eob={eob}]: r={ts.msac.rng}")
+            for i in range(min(txh, f.bh - t.by)):
+                t.l.lcoef[(by4 + i) & 31] = cf_ctx
+            for i in range(min(txw, f.bw - t.bx)):
+                ts.a.lcoef[t.bx + i] = cf_ctx
+            t.txtp_map[by4 : by4 + txh, bx4 : bx4 + txw] = txtp
+        if ap:
+            eob, txtp, cf = store.pop(sz)
+            if eob >= 0:
+                inv_txfm_add(
+                    dst[dst_y : dst_y + 4 * txh, dst_x : dst_x + 4 * txw],
+                    cf, eob, txw * 4, txh * 4, txtp, f.cur.bpc,
+                )
 
 
-def recon_b_inter(t, f, ts, bs, b):
+def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
     """recon.rs rav1d_recon_b_inter:3162."""
     from ..syntax.decode import trace
+
+    rd = phase in ("both", "read")
+    ap = phase in ("both", "apply")
     from ..syntax.env import get_uv_inter_txtp
     from .intra import _IPRED_FNS
     from .ipred_prepare import EDGE_OFF, prepare_intra_edges
@@ -328,286 +344,295 @@ def recon_b_inter(t, f, ts, bs, b):
     dsty, dstx = 4 * t.by, 4 * t.bx
     cdsty, cdstx = 4 * (t.by >> ss_ver), 4 * (t.bx >> ss_hor)
 
-    if frame_hdr.frame_type.is_key_or_intra:
-        # intra block copy
-        assert not frame_hdr.size.super_res.enabled
-        mc(
-            f, t, ypl, dsty, dstx, bw4, bh4, t.bx, t.by, 0,
-            tuple(b.mv[0]), f.sr_cur, 0, FILTER_2D_BILINEAR,
-        )
-        if has_chroma:
-            for pl in (1, 2):
-                mc(
-                    f, t, _plane(f.cur, pl), cdsty, cdstx,
-                    bw4 << (1 if bw4 == ss_hor else 0),
-                    bh4 << (1 if bh4 == ss_ver else 0),
-                    t.bx & ~ss_hor, t.by & ~ss_ver, pl,
-                    tuple(b.mv[0]), f.sr_cur, 0, FILTER_2D_BILINEAR,
-                )
-    elif b.comp_type != COMP_INTER_NONE:
-        filter2d = b.filter2d
-        tmp = [None, None]
-        jnt_weight = 0
-        seg_mask = None
-        for i in range(2):
-            refp = f.refp[b.ref[i]]
-            if b.inter_mode == GLOBALMV_GLOBALMV and f.gmv_warp_allowed[b.ref[i]]:
-                tmp[i] = np.zeros((bh4 * 4, bw4 * 4), dtype=np.int32)
-                warp_affine(
-                    f, t, None, 0, 0, tmp[i], b_dim, 0, refp,
-                    frame_hdr.gmv[b.ref[i]],
-                )
-            else:
-                tmp[i] = mc(
-                    f, t, None, 0, 0, bw4, bh4, t.bx, t.by, 0,
-                    tuple(b.mv[i]), refp, b.ref[i], filter2d, prep=True,
-                )
-        msk = None
-        if b.comp_type == COMP_INTER_AVG:
-            M.avg(ypl, dsty, dstx, tmp[0], tmp[1], bw4 * 4, bh4 * 4, bpc)
-        elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
-            jnt_weight = f.jnt_weights[b.ref[0]][b.ref[1]]
-            M.w_avg(ypl, dsty, dstx, tmp[0], tmp[1], bw4 * 4, bh4 * 4, jnt_weight, bpc)
-        elif b.comp_type == COMP_INTER_SEG:
-            sign = b.mask_sign
-            seg_mask = M.w_mask(
-                ypl, dsty, dstx, tmp[sign], tmp[1 - sign], bw4 * 4, bh4 * 4,
-                sign, ss_hor if chr_layout_idx else 0,
-                ss_ver if chr_layout_idx == 2 else 0, bpc,
-            )
-            msk = seg_mask
-        elif b.comp_type == COMP_INTER_WEDGE:
-            sign = b.mask_sign
-            wm = WEDGE_MASKS[bs][0][0][b.wedge_idx].reshape(bh4 * 4, bw4 * 4)
-            M.mask(ypl, dsty, dstx, tmp[sign], tmp[1 - sign], bw4 * 4, bh4 * 4, wm, bpc)
-            if has_chroma:
-                msk = WEDGE_MASKS[bs][chr_layout_idx][sign][b.wedge_idx].reshape(
-                    (bh4 * 4) >> ss_ver, (bw4 * 4) >> ss_hor
-                )
-        if has_chroma:
-            cw_px = (bw4 * 4) >> ss_hor
-            ch_px = (bh4 * 4) >> ss_ver
-            for pl in range(2):
-                for i in range(2):
-                    refp = f.refp[b.ref[i]]
-                    if (
-                        b.inter_mode == GLOBALMV_GLOBALMV
-                        and min(cbw4, cbh4) > 1
-                        and f.gmv_warp_allowed[b.ref[i]]
-                    ):
-                        tmp[i] = np.zeros((ch_px, cw_px), dtype=np.int32)
-                        warp_affine(
-                            f, t, None, 0, 0, tmp[i], b_dim, 1 + pl, refp,
-                            frame_hdr.gmv[b.ref[i]],
-                        )
-                    else:
-                        tmp[i] = mc(
-                            f, t, None, 0, 0, bw4, bh4, t.bx, t.by, 1 + pl,
-                            tuple(b.mv[i]), refp, b.ref[i], filter2d, prep=True,
-                        )
-                uvdst = _plane(f.cur, 1 + pl)
-                if b.comp_type == COMP_INTER_AVG:
-                    M.avg(uvdst, cdsty, cdstx, tmp[0], tmp[1], cw_px, ch_px, bpc)
-                elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
-                    M.w_avg(
-                        uvdst, cdsty, cdstx, tmp[0], tmp[1], cw_px, ch_px,
-                        jnt_weight, bpc,
-                    )
-                else:
-                    sign = b.mask_sign
-                    m2d = msk if msk.shape == (ch_px, cw_px) else msk.reshape(
-                        ch_px, cw_px
-                    )
-                    M.mask(
-                        uvdst, cdsty, cdstx, tmp[sign], tmp[1 - sign],
-                        cw_px, ch_px, m2d, bpc,
-                    )
+    if not ap:
+        # syntax pass: keep only the rolling tl_4x4_filter context update
+        if (not frame_hdr.frame_type.is_key_or_intra) and b.comp_type == COMP_INTER_NONE:
+            t.tl_4x4_filter = b.filter2d
     else:
-        refp = f.refp[b.ref[0]]
-        filter2d = b.filter2d
-        if min(bw4, bh4) > 1 and (
-            (b.inter_mode == GLOBALMV and f.gmv_warp_allowed[b.ref[0]])
-            or (
-                b.motion_mode == MM_WARP
-                and t.warpmv.type > WarpedMotionType.TRANSLATION
-            )
-        ):
-            wmp = t.warpmv if b.motion_mode == MM_WARP else frame_hdr.gmv[b.ref[0]]
-            warp_affine(f, t, ypl, dsty, dstx, None, b_dim, 0, refp, wmp)
-        else:
+        if frame_hdr.frame_type.is_key_or_intra:
+            # intra block copy
+            assert not frame_hdr.size.super_res.enabled
             mc(
                 f, t, ypl, dsty, dstx, bw4, bh4, t.bx, t.by, 0,
-                tuple(b.mv[0]), refp, b.ref[0], filter2d,
+                tuple(b.mv[0]), f.sr_cur, 0, FILTER_2D_BILINEAR,
             )
-            if b.motion_mode == MM_OBMC:
-                obmc(f, t, ts, ypl, dsty, dstx, b_dim, 0, bx4, by4, w4, h4)
-        if b.interintra_type != INTER_INTRA_NONE:
-            m = SMOOTH_PRED if b.interintra_mode == 3 else b.interintra_mode
-            top_sb_edge = None
-            if (t.by & (f.sb_step - 1)) == 0:
-                top_sb_edge = f.ipred_edge[0][(t.by >> f.sb_shift) - 1]
-            m, angle = prepare_intra_edges(
-                t.bx, t.bx > ts.col_start, t.by, t.by > ts.row_start,
-                ts.col_end, ts.row_end, 0, ypl, top_sb_edge, m, 0,
-                bw4, bh4, 0, t.edge_buf, bpc,
-            )
-            ii_tmp = np.zeros((bh4 * 4, bw4 * 4), dtype=ypl.dtype)
-            _IPRED_FNS[m](
-                ii_tmp, t.edge_buf, EDGE_OFF, bw4 * 4, bh4 * 4, angle, 0, 0, bpc
-            )
-            if b.interintra_type == INTER_INTRA_BLEND:
-                ii_mask = II_MASKS[bs][0][b.interintra_mode]
-            else:
-                ii_mask = WEDGE_MASKS[bs][0][0][b.wedge_idx]
-            M.blend(
-                ypl, dsty, dstx, ii_tmp, bw4 * 4, bh4 * 4,
-                ii_mask[: bh4 * 4 * bw4 * 4].reshape(bh4 * 4, bw4 * 4)
-                if len(ii_mask) >= bh4 * 4 * bw4 * 4
-                else np.broadcast_to(ii_mask, (bh4 * 4, bw4 * 4)),
-            )
-        if has_chroma:
-            is_sub8x8 = bw4 == ss_hor or bh4 == ss_ver
-            if is_sub8x8:
-                assert ss_hor == 1
-                rf = f.rf
-                if bw4 == 1:
-                    is_sub8x8 &= int(rf.r[t.by, t.bx - 1]["ref"][0]) > 0
-                if bh4 == ss_ver:
-                    is_sub8x8 &= int(rf.r[t.by - 1, t.bx]["ref"][0]) > 0
-                if bw4 == 1 and bh4 == ss_ver:
-                    is_sub8x8 &= int(rf.r[t.by - 1, t.bx - 1]["ref"][0]) > 0
-            if is_sub8x8:
-                h_off = 0
-                v_off = 0
-                if bw4 == 1 and bh4 == ss_ver:
-                    for pl in range(2):
-                        r = f.rf.r[t.by - 1, t.bx - 1]
-                        mc(
-                            f, t, _plane(f.cur, 1 + pl), cdsty, cdstx,
-                            bw4, bh4, t.bx - 1, t.by - 1, 1 + pl,
-                            (int(r["mv"][0][0]), int(r["mv"][0][1])),
-                            f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
-                            t.tl_4x4_filter,
-                        )
-                    v_off = 2
-                    h_off = 2
-                if bw4 == 1:
-                    left_f2d = _filter2d_of(
-                        t.l.filter[0][by4], t.l.filter[1][by4]
-                    )
-                    for pl in range(2):
-                        r = f.rf.r[t.by, t.bx - 1]
-                        mc(
-                            f, t, _plane(f.cur, 1 + pl), cdsty + v_off, cdstx,
-                            bw4, bh4, t.bx - 1, t.by, 1 + pl,
-                            (int(r["mv"][0][0]), int(r["mv"][0][1])),
-                            f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
-                            left_f2d,
-                        )
-                    h_off = 2
-                if bh4 == ss_ver:
-                    top_f2d = _filter2d_of(
-                        ts.a.filter[0][t.bx], ts.a.filter[1][t.bx]
-                    )
-                    for pl in range(2):
-                        r = f.rf.r[t.by - 1, t.bx]
-                        mc(
-                            f, t, _plane(f.cur, 1 + pl), cdsty, cdstx + h_off,
-                            bw4, bh4, t.bx, t.by - 1, 1 + pl,
-                            (int(r["mv"][0][0]), int(r["mv"][0][1])),
-                            f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
-                            top_f2d,
-                        )
-                    v_off = 2
-                for pl in range(2):
+            if has_chroma:
+                for pl in (1, 2):
                     mc(
-                        f, t, _plane(f.cur, 1 + pl), cdsty + v_off, cdstx + h_off,
-                        bw4, bh4, t.bx, t.by, 1 + pl,
-                        tuple(b.mv[0]), refp, b.ref[0], filter2d,
+                        f, t, _plane(f.cur, pl), cdsty, cdstx,
+                        bw4 << (1 if bw4 == ss_hor else 0),
+                        bh4 << (1 if bh4 == ss_ver else 0),
+                        t.bx & ~ss_hor, t.by & ~ss_ver, pl,
+                        tuple(b.mv[0]), f.sr_cur, 0, FILTER_2D_BILINEAR,
                     )
-            else:
-                if min(cbw4, cbh4) > 1 and (
-                    (b.inter_mode == GLOBALMV and f.gmv_warp_allowed[b.ref[0]])
-                    or (
-                        b.motion_mode == MM_WARP
-                        and t.warpmv.type > WarpedMotionType.TRANSLATION
+        elif b.comp_type != COMP_INTER_NONE:
+            filter2d = b.filter2d
+            tmp = [None, None]
+            jnt_weight = 0
+            seg_mask = None
+            for i in range(2):
+                refp = f.refp[b.ref[i]]
+                if b.inter_mode == GLOBALMV_GLOBALMV and f.gmv_warp_allowed[b.ref[i]]:
+                    tmp[i] = np.zeros((bh4 * 4, bw4 * 4), dtype=np.int32)
+                    warp_affine(
+                        f, t, None, 0, 0, tmp[i], b_dim, 0, refp,
+                        frame_hdr.gmv[b.ref[i]],
                     )
-                ):
-                    wmp = (
-                        t.warpmv
-                        if b.motion_mode == MM_WARP
-                        else frame_hdr.gmv[b.ref[0]]
-                    )
-                    for pl in range(2):
-                        warp_affine(
-                            f, t, _plane(f.cur, 1 + pl), cdsty, cdstx, None,
-                            b_dim, 1 + pl, refp, wmp,
-                        )
                 else:
+                    tmp[i] = mc(
+                        f, t, None, 0, 0, bw4, bh4, t.bx, t.by, 0,
+                        tuple(b.mv[i]), refp, b.ref[i], filter2d, prep=True,
+                    )
+            msk = None
+            if b.comp_type == COMP_INTER_AVG:
+                M.avg(ypl, dsty, dstx, tmp[0], tmp[1], bw4 * 4, bh4 * 4, bpc)
+            elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
+                jnt_weight = f.jnt_weights[b.ref[0]][b.ref[1]]
+                M.w_avg(ypl, dsty, dstx, tmp[0], tmp[1], bw4 * 4, bh4 * 4, jnt_weight, bpc)
+            elif b.comp_type == COMP_INTER_SEG:
+                sign = b.mask_sign
+                seg_mask = M.w_mask(
+                    ypl, dsty, dstx, tmp[sign], tmp[1 - sign], bw4 * 4, bh4 * 4,
+                    sign, ss_hor if chr_layout_idx else 0,
+                    ss_ver if chr_layout_idx == 2 else 0, bpc,
+                )
+                msk = seg_mask
+            elif b.comp_type == COMP_INTER_WEDGE:
+                sign = b.mask_sign
+                wm = WEDGE_MASKS[bs][0][0][b.wedge_idx].reshape(bh4 * 4, bw4 * 4)
+                M.mask(ypl, dsty, dstx, tmp[sign], tmp[1 - sign], bw4 * 4, bh4 * 4, wm, bpc)
+                if has_chroma:
+                    msk = WEDGE_MASKS[bs][chr_layout_idx][sign][b.wedge_idx].reshape(
+                        (bh4 * 4) >> ss_ver, (bw4 * 4) >> ss_hor
+                    )
+            if has_chroma:
+                cw_px = (bw4 * 4) >> ss_hor
+                ch_px = (bh4 * 4) >> ss_ver
+                for pl in range(2):
+                    for i in range(2):
+                        refp = f.refp[b.ref[i]]
+                        if (
+                            b.inter_mode == GLOBALMV_GLOBALMV
+                            and min(cbw4, cbh4) > 1
+                            and f.gmv_warp_allowed[b.ref[i]]
+                        ):
+                            tmp[i] = np.zeros((ch_px, cw_px), dtype=np.int32)
+                            warp_affine(
+                                f, t, None, 0, 0, tmp[i], b_dim, 1 + pl, refp,
+                                frame_hdr.gmv[b.ref[i]],
+                            )
+                        else:
+                            tmp[i] = mc(
+                                f, t, None, 0, 0, bw4, bh4, t.bx, t.by, 1 + pl,
+                                tuple(b.mv[i]), refp, b.ref[i], filter2d, prep=True,
+                            )
+                    uvdst = _plane(f.cur, 1 + pl)
+                    if b.comp_type == COMP_INTER_AVG:
+                        M.avg(uvdst, cdsty, cdstx, tmp[0], tmp[1], cw_px, ch_px, bpc)
+                    elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
+                        M.w_avg(
+                            uvdst, cdsty, cdstx, tmp[0], tmp[1], cw_px, ch_px,
+                            jnt_weight, bpc,
+                        )
+                    else:
+                        sign = b.mask_sign
+                        m2d = msk if msk.shape == (ch_px, cw_px) else msk.reshape(
+                            ch_px, cw_px
+                        )
+                        M.mask(
+                            uvdst, cdsty, cdstx, tmp[sign], tmp[1 - sign],
+                            cw_px, ch_px, m2d, bpc,
+                        )
+        else:
+            refp = f.refp[b.ref[0]]
+            filter2d = b.filter2d
+            if min(bw4, bh4) > 1 and (
+                (b.inter_mode == GLOBALMV and f.gmv_warp_allowed[b.ref[0]])
+                or (
+                    b.motion_mode == MM_WARP
+                    and t.warpmv.type > WarpedMotionType.TRANSLATION
+                )
+            ):
+                wmp = t.warpmv if b.motion_mode == MM_WARP else frame_hdr.gmv[b.ref[0]]
+                warp_affine(f, t, ypl, dsty, dstx, None, b_dim, 0, refp, wmp)
+            else:
+                mc(
+                    f, t, ypl, dsty, dstx, bw4, bh4, t.bx, t.by, 0,
+                    tuple(b.mv[0]), refp, b.ref[0], filter2d,
+                )
+                if b.motion_mode == MM_OBMC:
+                    obmc(f, t, ts, ypl, dsty, dstx, b_dim, 0, bx4, by4, w4, h4, item)
+            if b.interintra_type != INTER_INTRA_NONE:
+                m = SMOOTH_PRED if b.interintra_mode == 3 else b.interintra_mode
+                top_sb_edge = None
+                if (t.by & (f.sb_step - 1)) == 0:
+                    top_sb_edge = f.ipred_edge[0][(t.by >> f.sb_shift) - 1]
+                m, angle = prepare_intra_edges(
+                    t.bx, t.bx > ts.col_start, t.by, t.by > ts.row_start,
+                    ts.col_end, ts.row_end, 0, ypl, top_sb_edge, m, 0,
+                    bw4, bh4, 0, t.edge_buf, bpc,
+                )
+                ii_tmp = np.zeros((bh4 * 4, bw4 * 4), dtype=ypl.dtype)
+                _IPRED_FNS[m](
+                    ii_tmp, t.edge_buf, EDGE_OFF, bw4 * 4, bh4 * 4, angle, 0, 0, bpc
+                )
+                if b.interintra_type == INTER_INTRA_BLEND:
+                    ii_mask = II_MASKS[bs][0][b.interintra_mode]
+                else:
+                    ii_mask = WEDGE_MASKS[bs][0][0][b.wedge_idx]
+                M.blend(
+                    ypl, dsty, dstx, ii_tmp, bw4 * 4, bh4 * 4,
+                    ii_mask[: bh4 * 4 * bw4 * 4].reshape(bh4 * 4, bw4 * 4)
+                    if len(ii_mask) >= bh4 * 4 * bw4 * 4
+                    else np.broadcast_to(ii_mask, (bh4 * 4, bw4 * 4)),
+                )
+            if has_chroma:
+                is_sub8x8 = bw4 == ss_hor or bh4 == ss_ver
+                if is_sub8x8:
+                    assert ss_hor == 1
+                    rf = f.rf
+                    if bw4 == 1:
+                        is_sub8x8 &= int(rf.r[t.by, t.bx - 1]["ref"][0]) > 0
+                    if bh4 == ss_ver:
+                        is_sub8x8 &= int(rf.r[t.by - 1, t.bx]["ref"][0]) > 0
+                    if bw4 == 1 and bh4 == ss_ver:
+                        is_sub8x8 &= int(rf.r[t.by - 1, t.bx - 1]["ref"][0]) > 0
+                if is_sub8x8:
+                    h_off = 0
+                    v_off = 0
+                    if bw4 == 1 and bh4 == ss_ver:
+                        for pl in range(2):
+                            r = f.rf.r[t.by - 1, t.bx - 1]
+                            mc(
+                                f, t, _plane(f.cur, 1 + pl), cdsty, cdstx,
+                                bw4, bh4, t.bx - 1, t.by - 1, 1 + pl,
+                                (int(r["mv"][0][0]), int(r["mv"][0][1])),
+                                f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
+                                t.tl_4x4_filter,
+                            )
+                        v_off = 2
+                        h_off = 2
+                    if bw4 == 1:
+                        left_f2d = _filter2d_of(
+                            (item.l_filter[0][by4] if item is not None else t.l.filter[0][by4]),
+                            (item.l_filter[1][by4] if item is not None else t.l.filter[1][by4]),
+                        )
+                        for pl in range(2):
+                            r = f.rf.r[t.by, t.bx - 1]
+                            mc(
+                                f, t, _plane(f.cur, 1 + pl), cdsty + v_off, cdstx,
+                                bw4, bh4, t.bx - 1, t.by, 1 + pl,
+                                (int(r["mv"][0][0]), int(r["mv"][0][1])),
+                                f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
+                                left_f2d,
+                            )
+                        h_off = 2
+                    if bh4 == ss_ver:
+                        top_f2d = _filter2d_of(
+                            (item.a_filter[0][0] if item is not None else ts.a.filter[0][t.bx]),
+                            (item.a_filter[1][0] if item is not None else ts.a.filter[1][t.bx]),
+                        )
+                        for pl in range(2):
+                            r = f.rf.r[t.by - 1, t.bx]
+                            mc(
+                                f, t, _plane(f.cur, 1 + pl), cdsty, cdstx + h_off,
+                                bw4, bh4, t.bx, t.by - 1, 1 + pl,
+                                (int(r["mv"][0][0]), int(r["mv"][0][1])),
+                                f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
+                                top_f2d,
+                            )
+                        v_off = 2
                     for pl in range(2):
                         mc(
-                            f, t, _plane(f.cur, 1 + pl), cdsty, cdstx,
-                            bw4 << (1 if bw4 == ss_hor else 0),
-                            bh4 << (1 if bh4 == ss_ver else 0),
-                            t.bx & ~ss_hor, t.by & ~ss_ver, 1 + pl,
+                            f, t, _plane(f.cur, 1 + pl), cdsty + v_off, cdstx + h_off,
+                            bw4, bh4, t.bx, t.by, 1 + pl,
                             tuple(b.mv[0]), refp, b.ref[0], filter2d,
                         )
-                        if b.motion_mode == MM_OBMC:
-                            obmc(
-                                f, t, ts, _plane(f.cur, 1 + pl), cdsty, cdstx,
-                                b_dim, 1 + pl, bx4, by4, w4, h4,
+                else:
+                    if min(cbw4, cbh4) > 1 and (
+                        (b.inter_mode == GLOBALMV and f.gmv_warp_allowed[b.ref[0]])
+                        or (
+                            b.motion_mode == MM_WARP
+                            and t.warpmv.type > WarpedMotionType.TRANSLATION
+                        )
+                    ):
+                        wmp = (
+                            t.warpmv
+                            if b.motion_mode == MM_WARP
+                            else frame_hdr.gmv[b.ref[0]]
+                        )
+                        for pl in range(2):
+                            warp_affine(
+                                f, t, _plane(f.cur, 1 + pl), cdsty, cdstx, None,
+                                b_dim, 1 + pl, refp, wmp,
                             )
-                if b.interintra_type != INTER_INTRA_NONE:
-                    if b.interintra_type == INTER_INTRA_BLEND:
-                        ii_mask = II_MASKS[bs][chr_layout_idx][b.interintra_mode]
                     else:
-                        ii_mask = WEDGE_MASKS[bs][chr_layout_idx][0][b.wedge_idx]
-                    for pl in range(2):
-                        m = SMOOTH_PRED if b.interintra_mode == 3 else b.interintra_mode
-                        uvpl = _plane(f.cur, 1 + pl)
-                        top_sb_edge = None
-                        if (t.by & (f.sb_step - 1)) == 0:
-                            top_sb_edge = f.ipred_edge[pl + 1][
-                                (t.by >> f.sb_shift) - 1
-                            ]
-                        m, angle = prepare_intra_edges(
-                            t.bx >> ss_hor,
-                            (t.bx >> ss_hor) > (ts.col_start >> ss_hor),
-                            t.by >> ss_ver,
-                            (t.by >> ss_ver) > (ts.row_start >> ss_ver),
-                            ts.col_end >> ss_hor,
-                            ts.row_end >> ss_ver,
-                            0, uvpl, top_sb_edge, m, 0, cbw4, cbh4, 0,
-                            t.edge_buf, bpc,
-                        )
-                        ii_tmp = np.zeros((cbh4 * 4, cbw4 * 4), dtype=uvpl.dtype)
-                        _IPRED_FNS[m](
-                            ii_tmp, t.edge_buf, EDGE_OFF, cbw4 * 4, cbh4 * 4,
-                            angle, 0, 0, bpc,
-                        )
-                        M.blend(
-                            uvpl, cdsty, cdstx, ii_tmp, cbw4 * 4, cbh4 * 4,
-                            ii_mask[: cbh4 * 4 * cbw4 * 4].reshape(
-                                cbh4 * 4, cbw4 * 4
-                            ),
-                        )
-        t.tl_4x4_filter = filter2d
+                        for pl in range(2):
+                            mc(
+                                f, t, _plane(f.cur, 1 + pl), cdsty, cdstx,
+                                bw4 << (1 if bw4 == ss_hor else 0),
+                                bh4 << (1 if bh4 == ss_ver else 0),
+                                t.bx & ~ss_hor, t.by & ~ss_ver, 1 + pl,
+                                tuple(b.mv[0]), refp, b.ref[0], filter2d,
+                            )
+                            if b.motion_mode == MM_OBMC:
+                                obmc(
+                                    f, t, ts, _plane(f.cur, 1 + pl), cdsty, cdstx,
+                                    b_dim, 1 + pl, bx4, by4, w4, h4, item,
+                                )
+                    if b.interintra_type != INTER_INTRA_NONE:
+                        if b.interintra_type == INTER_INTRA_BLEND:
+                            ii_mask = II_MASKS[bs][chr_layout_idx][b.interintra_mode]
+                        else:
+                            ii_mask = WEDGE_MASKS[bs][chr_layout_idx][0][b.wedge_idx]
+                        for pl in range(2):
+                            m = SMOOTH_PRED if b.interintra_mode == 3 else b.interintra_mode
+                            uvpl = _plane(f.cur, 1 + pl)
+                            top_sb_edge = None
+                            if (t.by & (f.sb_step - 1)) == 0:
+                                top_sb_edge = f.ipred_edge[pl + 1][
+                                    (t.by >> f.sb_shift) - 1
+                                ]
+                            m, angle = prepare_intra_edges(
+                                t.bx >> ss_hor,
+                                (t.bx >> ss_hor) > (ts.col_start >> ss_hor),
+                                t.by >> ss_ver,
+                                (t.by >> ss_ver) > (ts.row_start >> ss_ver),
+                                ts.col_end >> ss_hor,
+                                ts.row_end >> ss_ver,
+                                0, uvpl, top_sb_edge, m, 0, cbw4, cbh4, 0,
+                                t.edge_buf, bpc,
+                            )
+                            ii_tmp = np.zeros((cbh4 * 4, cbw4 * 4), dtype=uvpl.dtype)
+                            _IPRED_FNS[m](
+                                ii_tmp, t.edge_buf, EDGE_OFF, cbw4 * 4, cbh4 * 4,
+                                angle, 0, 0, bpc,
+                            )
+                            M.blend(
+                                uvpl, cdsty, cdstx, ii_tmp, cbw4 * 4, cbh4 * 4,
+                                ii_mask[: cbh4 * 4 * cbw4 * 4].reshape(
+                                    cbh4 * 4, cbw4 * 4
+                                ),
+                            )
+            t.tl_4x4_filter = filter2d
+
 
     # residuals
     cw4 = (w4 + ss_hor) >> ss_hor
     ch4 = (h4 + ss_ver) >> ss_ver
     if b.skip:
-        for i in range(bw4):
-            ts.a.lcoef[t.bx + i] = 0x40
-        for i in range(bh4):
-            t.l.lcoef[(by4 + i) & 31] = 0x40
-        if has_chroma:
-            cbx_abs = t.bx >> ss_hor
-            for pl in range(2):
-                for i in range(cbw4):
-                    ts.a.ccoef[pl][cbx_abs + i] = 0x40
-                for i in range(cbh4):
-                    t.l.ccoef[pl][(cby4 + i) & 31] = 0x40
+        if rd:
+            for i in range(bw4):
+                ts.a.lcoef[t.bx + i] = 0x40
+            for i in range(bh4):
+                t.l.lcoef[(by4 + i) & 31] = 0x40
+            if has_chroma:
+                cbx_abs = t.bx >> ss_hor
+                for pl in range(2):
+                    for i in range(cbw4):
+                        ts.a.ccoef[pl][cbx_abs + i] = 0x40
+                    for i in range(cbh4):
+                        t.l.ccoef[pl][(cby4 + i) & 31] = 0x40
         return
     uvt_dim = TXFM_DIMENSIONS[b.uvtx]
     yt_dim = TXFM_DIMENSIONS[b.max_ytx]
@@ -624,7 +649,7 @@ def recon_b_inter(t, f, ts, bs, b):
                 while x < min(w4, init_x + 16):
                     read_coef_tree(
                         t, f, ts, bs, b, b.max_ytx, 0, tx_split, x_off, y_off,
-                        ypl, 4 * t.by, 4 * t.bx,
+                        ypl, 4 * t.by, 4 * t.bx, phase,
                     )
                     t.bx += yt_dim.w
                     x += yt_dim.w
@@ -643,44 +668,49 @@ def recon_b_inter(t, f, ts, bs, b):
                         x = init_x >> ss_hor
                         t.bx += init_x
                         while x < min(cw4, (init_x + 16) >> ss_hor):
-                            ytxtp = int(
-                                t.txtp_map[
-                                    (by4 + (y << ss_ver)) & 31,
-                                    (bx4 + (x << ss_hor)) & 31,
-                                ]
-                            )
-                            cf = t.cf
-                            cf[: min(uvt_dim.w, 8) * min(uvt_dim.h, 8) * 16] = 0
-                            eob, txtp, cf_ctx = decode_coefs(
-                                f, ts, ts.a.ccoef[pl], t.l.ccoef[pl],
-                                (t.bx >> ss_hor), cby4 + y, b.uvtx, bs, b, 0,
-                                1 + pl, cf, ytxtp,
-                            )
-                            trace(
-                                f"Post-uv-cf-blk[pl={pl},tx={b.uvtx},"
-                                f"txtp={txtp},eob={eob}]: r={ts.msac.rng}"
-                            )
-                            for i in range(
-                                min(uvt_dim.h, (f.bh - t.by + ss_ver) >> ss_ver)
-                            ):
-                                t.l.ccoef[pl][(cby4 + y + i) & 31] = cf_ctx
-                            for i in range(
-                                min(uvt_dim.w, (f.bw - t.bx + ss_hor) >> ss_hor)
-                            ):
-                                ts.a.ccoef[pl][(t.bx >> ss_hor) + i] = cf_ctx
-                            if eob >= 0:
-                                inv_txfm_add(
-                                    uvpl[
-                                        4 * ((t.by >> ss_ver) + 0) : 4
-                                        * (t.by >> ss_ver)
-                                        + uvt_dim.h * 4,
-                                        4 * (t.bx >> ss_hor) + 4 * 0 : 4
-                                        * (t.bx >> ss_hor)
-                                        + uvt_dim.w * 4,
-                                    ],
-                                    cf, eob, uvt_dim.w * 4, uvt_dim.h * 4,
-                                    txtp, bpc,
+                            sz = min(uvt_dim.w, 8) * min(uvt_dim.h, 8) * 16
+                            store = f.coef_store
+                            if rd:
+                                ytxtp = int(
+                                    t.txtp_map[
+                                        (by4 + (y << ss_ver)) & 31,
+                                        (bx4 + (x << ss_hor)) & 31,
+                                    ]
                                 )
+                                cf = store.alloc_cf(sz)
+                                eob, txtp, cf_ctx = decode_coefs(
+                                    f, ts, ts.a.ccoef[pl], t.l.ccoef[pl],
+                                    (t.bx >> ss_hor), cby4 + y, b.uvtx, bs, b, 0,
+                                    1 + pl, cf, ytxtp,
+                                )
+                                store.push(eob, txtp, sz)
+                                trace(
+                                    f"Post-uv-cf-blk[pl={pl},tx={b.uvtx},"
+                                    f"txtp={txtp},eob={eob}]: r={ts.msac.rng}"
+                                )
+                                for i in range(
+                                    min(uvt_dim.h, (f.bh - t.by + ss_ver) >> ss_ver)
+                                ):
+                                    t.l.ccoef[pl][(cby4 + y + i) & 31] = cf_ctx
+                                for i in range(
+                                    min(uvt_dim.w, (f.bw - t.bx + ss_hor) >> ss_hor)
+                                ):
+                                    ts.a.ccoef[pl][(t.bx >> ss_hor) + i] = cf_ctx
+                            if ap:
+                                eob, txtp, cf = store.pop(sz)
+                                if eob >= 0:
+                                    inv_txfm_add(
+                                        uvpl[
+                                            4 * ((t.by >> ss_ver) + 0) : 4
+                                            * (t.by >> ss_ver)
+                                            + uvt_dim.h * 4,
+                                            4 * (t.bx >> ss_hor) + 4 * 0 : 4
+                                            * (t.bx >> ss_hor)
+                                            + uvt_dim.w * 4,
+                                        ],
+                                        cf, eob, uvt_dim.w * 4, uvt_dim.h * 4,
+                                        txtp, bpc,
+                                    )
                             t.bx += uvt_dim.w << ss_hor
                             x += uvt_dim.w
                         t.bx -= x << ss_hor

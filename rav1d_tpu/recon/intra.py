@@ -63,7 +63,10 @@ def _sm_uv_flag(b, idx):
     return 512 if m in (SMOOTH_PRED, SMOOTH_H_PRED, SMOOTH_V_PRED) else 0
 
 
-def recon_b_intra(t, f, ts, bs, intra_edge_flags, b):
+def recon_b_intra(t, f, ts, bs, intra_edge_flags, b, phase="both", item=None):
+    rd = phase in ("both", "read")
+    ap = phase in ("both", "apply")
+    store = f.coef_store
     layout = f.cur.layout
     ss_ver = 1 if layout == PixelLayout.I420 else 0
     ss_hor = 1 if layout != PixelLayout.I444 else 0
@@ -98,12 +101,14 @@ def recon_b_intra(t, f, ts, bs, intra_edge_flags, b):
         sub_ch4 = min(ch4, (init_y + 16) >> ss_ver)
         init_x = 0
         while init_x < w4:
-            if b.pal_sz[0]:
+            if ap and b.pal_sz[0]:
                 dst = ypl[4 * t.by : 4 * t.by + bh4 * 4, 4 * t.bx : 4 * t.bx + bw4 * 4]
                 P.pal_pred(dst, t.pal[0], t.pal_idx, bw4 * 4, bh4 * 4)
 
             intra_flags = (
-                _sm_flag(ts.a, t.bx) | _sm_flag(t.l, by4) | ief_flag
+                (item.sm_fl | ief_flag)
+                if item is not None
+                else (_sm_flag(ts.a, t.bx) | _sm_flag(t.l, by4) | ief_flag)
             )
             if init_x + 16 < w4:
                 sb_has_tr = True
@@ -125,7 +130,7 @@ def recon_b_intra(t, f, ts, bs, intra_edge_flags, b):
                 x = init_x
                 t.bx += init_x
                 while x < sub_w4:
-                    if not b.pal_sz[0]:
+                    if ap and not b.pal_sz[0]:
                         angle = b.y_angle
                         ef = (
                             ie.I444_TOP_HAS_RIGHT
@@ -180,40 +185,44 @@ def recon_b_intra(t, f, ts, bs, intra_edge_flags, b):
                             bpc,
                         )
                     if not b.skip:
-                        cf = t.cf
-                        cf[: min(t_dim.w, 8) * min(t_dim.h, 8) * 16] = 0
-                        eob, txtp, cf_ctx = decode_coefs(
-                            f,
-                            ts,
-                            ts.a.lcoef,
-                            t.l.lcoef,
-                            t.bx,
-                            by4 + y,
-                            b.tx,
-                            bs,
-                            b,
-                            1,
-                            0,
-                            cf,
-                        )
-                        from ..syntax.decode import trace
-
-                        trace(
-                            f"Post-y-cf-blk[tx={b.tx},txtp={txtp},eob={eob}]: r={ts.msac.rng}"
-                        )
-                        for i in range(min(t_dim.h, f.bh - t.by)):
-                            t.l.lcoef[(by4 + y + i) & 31] = cf_ctx
-                        for i in range(min(t_dim.w, f.bw - t.bx)):
-                            ts.a.lcoef[t.bx + i] = cf_ctx
-                        if eob >= 0:
-                            dst = ypl[
-                                4 * t.by : 4 * t.by + t_dim.h * 4,
-                                4 * t.bx : 4 * t.bx + t_dim.w * 4,
-                            ]
-                            inv_txfm_add(
-                                dst, cf, eob, t_dim.w * 4, t_dim.h * 4, txtp, bpc
+                        sz = min(t_dim.w, 8) * min(t_dim.h, 8) * 16
+                        if rd:
+                            cf = store.alloc_cf(sz)
+                            eob, txtp, cf_ctx = decode_coefs(
+                                f,
+                                ts,
+                                ts.a.lcoef,
+                                t.l.lcoef,
+                                t.bx,
+                                by4 + y,
+                                b.tx,
+                                bs,
+                                b,
+                                1,
+                                0,
+                                cf,
                             )
-                    else:
+                            store.push(eob, txtp, sz)
+                            from ..syntax.decode import trace
+
+                            trace(
+                                f"Post-y-cf-blk[tx={b.tx},txtp={txtp},eob={eob}]: r={ts.msac.rng}"
+                            )
+                            for i in range(min(t_dim.h, f.bh - t.by)):
+                                t.l.lcoef[(by4 + y + i) & 31] = cf_ctx
+                            for i in range(min(t_dim.w, f.bw - t.bx)):
+                                ts.a.lcoef[t.bx + i] = cf_ctx
+                        if ap:
+                            eob, txtp, cf = store.pop(sz)
+                            if eob >= 0:
+                                dst = ypl[
+                                    4 * t.by : 4 * t.by + t_dim.h * 4,
+                                    4 * t.bx : 4 * t.bx + t_dim.w * 4,
+                                ]
+                                inv_txfm_add(
+                                    dst, cf, eob, t_dim.w * 4, t_dim.h * 4, txtp, bpc
+                                )
+                    elif rd:
                         for i in range(t_dim.h):
                             t.l.lcoef[(by4 + y + i) & 31] = 0x40
                         for i in range(t_dim.w):
@@ -231,6 +240,7 @@ def recon_b_intra(t, f, ts, bs, intra_edge_flags, b):
                     init_x, init_y, sub_ch4, cw4, ch4, cbw4, cbh4,
                     cbx4, cby4, ss_hor, ss_ver, uv_t_dim, t_dim,
                     intra_edge_flags, sb_has_tr, sb_has_bl, layout_int,
+                    phase, item,
                 )
             init_x += 16
         init_y += 16
@@ -241,14 +251,18 @@ def _recon_chroma(
     init_x, init_y, sub_ch4, cw4, ch4, cbw4, cbh4,
     cbx4, cby4, ss_hor, ss_ver, uv_t_dim, t_dim,
     intra_edge_flags, sb_has_tr, sb_has_bl, layout_int,
+    phase="both", item=None,
 ):
+    rd = phase in ("both", "read")
+    ap = phase in ("both", "apply")
+    store = f.coef_store
     bpc = f.cur.bpc
     intra_edge_filter = f.seq_hdr.intra_edge_filter
     ief_flag = intra_edge_filter << 10
     uvpl = [f.cur.u, f.cur.v]
     cbx_abs = t.bx >> ss_hor
 
-    if b.uv_mode == CFL_PRED:
+    if ap and b.uv_mode == CFL_PRED:
         assert init_x == 0 and init_y == 0
         ac = t.ac
         furthest_r = ((cw4 << ss_hor) + t_dim.w - 1) & ~(t_dim.w - 1)
@@ -316,7 +330,7 @@ def _recon_chroma(
                 b.cfl_alpha[pl],
                 bpc,
             )
-    elif b.pal_sz[1]:
+    elif ap and b.pal_sz[1]:
         xpos = t.bx >> ss_hor
         ypos = t.by >> ss_ver
         pal_idx = t.pal_idx[
@@ -328,7 +342,11 @@ def _recon_chroma(
             ]
             P.pal_pred(dst, t.pal[1 + pl], pal_idx, cbw4 * 4, cbh4 * 4)
 
-    sm_uv_fl = _sm_uv_flag(ts.a, cbx_abs) | _sm_uv_flag(t.l, cby4)
+    sm_uv_fl = (
+        item.sm_uv_fl
+        if item is not None
+        else (_sm_uv_flag(ts.a, cbx_abs) | _sm_uv_flag(t.l, cby4))
+    )
     if (init_x + 16) >> ss_hor < cw4:
         uv_sb_has_tr = True
     elif init_y:
@@ -354,7 +372,7 @@ def _recon_chroma(
             x = init_x >> ss_hor
             t.bx += init_x
             while x < sub_cw4:
-                if not (
+                if ap and not (
                     (b.uv_mode == CFL_PRED and b.cfl_alpha[pl] != 0)
                     or b.pal_sz[1] != 0
                 ):
@@ -418,46 +436,50 @@ def _recon_chroma(
                         bpc,
                     )
                 if not b.skip:
-                    cf = t.cf
-                    cf[: uv_t_dim.w * uv_t_dim.h * 16] = 0
-                    eob, txtp, cf_ctx = decode_coefs(
-                        f,
-                        ts,
-                        ts.a.ccoef[pl],
-                        t.l.ccoef[pl],
-                        (t.bx >> ss_hor),
-                        cby4 + y,
-                        b.uvtx,
-                        bs,
-                        b,
-                        1,
-                        1 + pl,
-                        cf,
-                    )
-                    from ..syntax.decode import trace
-
-                    trace(
-                        f"Post-uv-cf-blk[pl={pl},tx={b.uvtx},txtp={txtp},eob={eob}]: r={ts.msac.rng}"
-                    )
-                    for i in range(
-                        min(uv_t_dim.h, (f.bh - t.by + ss_ver) >> ss_ver)
-                    ):
-                        t.l.ccoef[pl][(cby4 + y + i) & 31] = cf_ctx
-                    for i in range(
-                        min(uv_t_dim.w, (f.bw - t.bx + ss_hor) >> ss_hor)
-                    ):
-                        ts.a.ccoef[pl][(t.bx >> ss_hor) + i] = cf_ctx
-                    if eob >= 0:
-                        xpos = t.bx >> ss_hor
-                        ypos = t.by >> ss_ver
-                        dst = uvpl[pl][
-                            4 * ypos : 4 * ypos + uv_t_dim.h * 4,
-                            4 * xpos : 4 * xpos + uv_t_dim.w * 4,
-                        ]
-                        inv_txfm_add(
-                            dst, cf, eob, uv_t_dim.w * 4, uv_t_dim.h * 4, txtp, bpc
+                    sz = uv_t_dim.w * uv_t_dim.h * 16
+                    if rd:
+                        cf = store.alloc_cf(sz)
+                        eob, txtp, cf_ctx = decode_coefs(
+                            f,
+                            ts,
+                            ts.a.ccoef[pl],
+                            t.l.ccoef[pl],
+                            (t.bx >> ss_hor),
+                            cby4 + y,
+                            b.uvtx,
+                            bs,
+                            b,
+                            1,
+                            1 + pl,
+                            cf,
                         )
-                else:
+                        store.push(eob, txtp, sz)
+                        from ..syntax.decode import trace
+
+                        trace(
+                            f"Post-uv-cf-blk[pl={pl},tx={b.uvtx},txtp={txtp},eob={eob}]: r={ts.msac.rng}"
+                        )
+                        for i in range(
+                            min(uv_t_dim.h, (f.bh - t.by + ss_ver) >> ss_ver)
+                        ):
+                            t.l.ccoef[pl][(cby4 + y + i) & 31] = cf_ctx
+                        for i in range(
+                            min(uv_t_dim.w, (f.bw - t.bx + ss_hor) >> ss_hor)
+                        ):
+                            ts.a.ccoef[pl][(t.bx >> ss_hor) + i] = cf_ctx
+                    if ap:
+                        eob, txtp, cf = store.pop(sz)
+                        if eob >= 0:
+                            xpos = t.bx >> ss_hor
+                            ypos = t.by >> ss_ver
+                            dst = uvpl[pl][
+                                4 * ypos : 4 * ypos + uv_t_dim.h * 4,
+                                4 * xpos : 4 * xpos + uv_t_dim.w * 4,
+                            ]
+                            inv_txfm_add(
+                                dst, cf, eob, uv_t_dim.w * 4, uv_t_dim.h * 4, txtp, bpc
+                            )
+                elif rd:
                     for i in range(uv_t_dim.h):
                         t.l.ccoef[pl][(cby4 + y + i) & 31] = 0x40
                     for i in range(uv_t_dim.w):

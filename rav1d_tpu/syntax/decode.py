@@ -687,6 +687,34 @@ def _findoddzero(vals):
     return False
 
 
+def _snapshot_inter_item(t, f, ts, bs, b, bw4, bh4, by4):
+    """Queue an inter work item with the mutable-context snapshots the
+    deferred dense pass needs (filters for OBMC/sub8x8, warp params, the
+    rolling top-left filter)."""
+    from ..recon.store import WorkItem
+    from ..headers import WarpedMotionParams
+
+    wi = WorkItem("inter", t, ts, bs, b)
+    w4 = min(bw4, f.bw - t.bx)
+    wi.a_filter = (
+        ts.a.filter[0][t.bx : t.bx + w4 + 2].copy(),
+        ts.a.filter[1][t.bx : t.bx + w4 + 2].copy(),
+    )
+    wi.l_filter = (t.l.filter[0].copy(), t.l.filter[1].copy())
+    wi.tl_4x4_filter = t.tl_4x4_filter
+    if getattr(b, "motion_mode", 0) == 2 and t.warpmv is not None:  # MM_WARP
+        wm = WarpedMotionParams()
+        wm.type = t.warpmv.type
+        wm.matrix = list(t.warpmv.matrix)
+        wm.alpha, wm.beta = t.warpmv.alpha, t.warpmv.beta
+        wm.gamma, wm.delta = t.warpmv.gamma, t.warpmv.delta
+        wi.warpmv = wm
+    wi.tx_pos = f.coef_store.tx_pos
+    wi.cf_pos = f.coef_store.cf_pos
+    f.work_items.append(wi)
+    return wi
+
+
 def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
     """Per-block decode (src/decode.rs:1159 decode_b_inner)."""
     from ..recon.intra import recon_b_intra
@@ -1047,8 +1075,22 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
                     t_dim = TXFM_DIMENSIONS[b.tx]
             trace(f"Post-tx[{b.tx}]: r={msac.rng}")
 
-        # reconstruction (interleaved with residual symbol decode)
-        recon_b_intra(t, f, ts, bs, intra_edge_flags, b)
+        # pass 1: coefficient decode now; dense work queued as a work item
+        # (two-pass split, rav1d frame-thread analog)
+        from ..recon.intra import _sm_flag, _sm_uv_flag
+        from ..recon.store import WorkItem
+
+        wi = WorkItem("intra", t, ts, bs, b)
+        wi.intra_edge_flags = intra_edge_flags
+        wi.sm_fl = _sm_flag(ts.a, t.bx) | _sm_flag(t.l, by4)
+        wi.sm_uv_fl = _sm_uv_flag(ts.a, t.bx >> ss_hor) | _sm_uv_flag(t.l, cby4)
+        if b.pal_sz[0] or b.pal_sz[1]:
+            wi.pal = [np.array(pp, copy=True) for pp in t.pal]
+            wi.pal_idx = t.pal_idx.copy()
+        wi.tx_pos = f.coef_store.tx_pos
+        wi.cf_pos = f.coef_store.cf_pos
+        f.work_items.append(wi)
+        recon_b_intra(t, f, ts, bs, intra_edge_flags, b, phase="read")
 
         if frame_hdr.loopfilter.level_y != [0, 0]:
             from ..recon.lf import record_lf_intra
@@ -1179,7 +1221,8 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
         )
         read_vartx_tree(t, f, ts, b, bs, bx4, by4)
         b.filter2d = FILTER_2D_BILINEAR
-        recon_b_inter(t, f, ts, bs, b)
+        _snapshot_inter_item(t, f, ts, bs, b, bw4, bh4, by4)
+        recon_b_inter(t, f, ts, bs, b, phase="read")
 
         # splat_intrabc_mv (decode.rs:919)
         refmvs.splat_mv(
@@ -1605,7 +1648,8 @@ def decode_b(t, f, ts, bl, bs, bp, intra_edge_flags):
         b.filter2d = FILTER_2D[filter_[1]][filter_[0]]
 
         read_vartx_tree(t, f, ts, b, bs, bx4, by4)
-        recon_b_inter(t, f, ts, bs, b)
+        _snapshot_inter_item(t, f, ts, bs, b, bw4, bh4, by4)
+        recon_b_inter(t, f, ts, bs, b, phase="read")
 
         if frame_hdr.loopfilter.level_y != [0, 0]:
             from ..recon.lf import record_lf_inter
