@@ -826,6 +826,77 @@ def inv_txfm_add(dst, coeff, eob, w, h, txtp, bpc):
     dst[:, :] = np.clip(dst.astype(np.int64) + res, 0, pixel_max).astype(dst.dtype)
 
 
+def inv_txfm_add_batch(dst, ys, xs, cfs, eobs, w, h, txtp, bpc):
+    """Batched inverse transform + add for N same-shape txblocks.
+
+    dst: full picture plane; ys/xs: (N,) absolute pixel coords; cfs: (N, sw*sh)
+    int32 coefficient rows; eobs: (N,). Blocks' destination regions are
+    disjoint (inter residuals), so gather/add/scatter in one shot. The 1-D
+    kernels are lane-vectorized, so N folds into the lane axis — this same
+    dataflow is the TPU itx kernel (ops/tpu/itx.py)."""
+    if txtp == WHT_WHT:
+        for i in range(len(ys)):
+            r0, c0 = ys[i], xs[i]
+            _wht_add(dst[r0 : r0 + h, c0 : c0 + w], cfs[i], bpc)
+        return
+    first_name, second_name = _TXTP_1D[txtp]
+    has_dconly = 1 if txtp == DCT_DCT else 0
+    shift = _SHIFTS[(w, h)]
+    is_rect2 = w * 2 == h or h * 2 == w
+    rnd = (1 << shift) >> 1
+    pixel_max = (1 << bpc) - 1
+    ys = np.asarray(ys)
+    xs = np.asarray(xs)
+    eobs = np.asarray(eobs)
+    cfs = np.asarray(cfs, dtype=np.int64)
+    N = len(ys)
+    rows = ys[:, None, None] + np.arange(h)[None, :, None]
+    cols = xs[:, None, None] + np.arange(w)[None, None, :]
+
+    dc_sel = eobs < has_dconly
+    res = np.zeros((N, h, w), dtype=np.int64)
+
+    if dc_sel.any():
+        dc = cfs[:, 0]
+        if is_rect2:
+            dc = (dc * 181 + 128) >> 8
+        dc = (dc * 181 + 128) >> 8
+        dc = (dc + rnd) >> shift
+        dc = (dc * 181 + 128 + 2048) >> 12
+        res += np.where(dc_sel, dc, 0)[:, None, None]
+
+    full = np.nonzero(~dc_sel)[0]
+    if len(full):
+        sh = min(h, 32)
+        sw = min(w, 32)
+        if bpc == 8:
+            row_clip_min = col_clip_min = -(1 << 15)
+        else:
+            bitdepth_max = (1 << bpc) - 1
+            row_clip_min = (~bitdepth_max) << 7
+            col_clip_min = (~bitdepth_max) << 5
+        row_clip_max = ~row_clip_min
+        col_clip_max = ~col_clip_min
+        M = len(full)
+        cbuf = cfs[full, : sw * sh].reshape(M, sw, sh).transpose(0, 2, 1)
+        if is_rect2:
+            cbuf = (cbuf * 181 + 128) >> 8
+        tmp = np.zeros((M, h, w), dtype=np.int64)
+        tmp[:, :sh, :sw] = cbuf
+        # first pass over rows: axis0 = w transform points, lanes = M*sh
+        ct = np.ascontiguousarray(tmp[:, :sh, :].transpose(2, 0, 1).reshape(w, M * sh))
+        _FAMILY[first_name][w](ct, row_clip_min, row_clip_max)
+        tmp[:, :sh, :] = ct.reshape(w, M, sh).transpose(1, 2, 0)
+        tmp[:, :sh, :] = np.clip(tmp[:, :sh, :] + rnd >> shift, col_clip_min, col_clip_max)
+        # second pass over columns: axis0 = h points, lanes = M*w
+        c2 = np.ascontiguousarray(tmp.transpose(1, 0, 2).reshape(h, M * w))
+        _FAMILY[second_name][h](c2, col_clip_min, col_clip_max)
+        res[full] = (c2.reshape(h, M, w).transpose(1, 0, 2) + 8) >> 4
+
+    win = dst[rows, cols].astype(np.int64)
+    dst[rows, cols] = np.clip(win + res, 0, pixel_max).astype(dst.dtype)
+
+
 def _wht_add(dst, coeff, bpc):
     # tmp[y][x] = coeff[y + x*4] >> 2; wht over rows then columns; add as-is.
     tmp = (np.asarray(coeff[:16], dtype=np.int64).reshape(4, 4).T) >> 2

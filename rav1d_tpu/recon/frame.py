@@ -221,18 +221,50 @@ def _resize_planes(f, planes):
 
 
 def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
-    """Replay queued work items in decode order (rav1d pass-2 analog:
-    TileReconstruction replay, src/decode.rs:3895-3916). Items carry their
-    coefficient-store cursors and context snapshots, so replay is entirely
-    entropy-free dense work."""
+    """Replay queued work items (rav1d pass-2 analog: TileReconstruction
+    replay, src/decode.rs:3895-3916), restructured for batching:
+
+    1. "batch" items — plain inter blocks reading only reference frames —
+       run first in any order: per-block prediction now, residuals collected
+       as itx jobs and executed in one batched shot per (plane, size, type).
+    2. "wavefront" items — intra / intrabc / inter-intra blocks that read
+       reconstructed neighbour pixels — replay per-sbrow in decode order.
+    """
+    from ..syntax.levels import INTER_INTRA_NONE
     from .intra import recon_b_intra
     from .inter import recon_b_inter
 
     store = f.coef_store
     items = f.work_items
+    is_key = f.frame_hdr.frame_type.is_key_or_intra
+
+    def batchable(wi):
+        return (
+            wi.kind == "inter"
+            and not is_key
+            and wi.b.interintra_type == INTER_INTRA_NONE
+        )
+
+    # phase 1: batchable inter blocks (prediction + deferred residuals)
+    f.itx_jobs = []
+    for wi in items:
+        if not batchable(wi):
+            continue
+        t.bx, t.by = wi.bx, wi.by
+        store.seek(wi.tx_pos, wi.cf_pos)
+        if wi.warpmv is not None:
+            t.warpmv = wi.warpmv
+        t.tl_4x4_filter = wi.tl_4x4_filter
+        recon_b_inter(t, f, wi.ts, wi.bs, wi.b, phase="apply", item=wi)
+    _run_itx_jobs(f)
+    f.itx_jobs = None
+
+    # phase 2: wavefront items per sbrow in decode order
     pos = 0
     for tile_row, sby, end in sbrow_marks:
         for wi in items[pos:end]:
+            if batchable(wi):
+                continue
             t.bx, t.by = wi.bx, wi.by
             store.seek(wi.tx_pos, wi.cf_pos)
             if wi.kind == "intra":
@@ -251,6 +283,27 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
         pos = end
         _backup_ipred_edges(f, tile_states, tile_row, cols, sby)
     f.work_items = []
+
+
+def _run_itx_jobs(f):
+    """Execute collected inter residual jobs batched by (plane, w, h, txtp).
+    Inter residual regions are mutually disjoint, so batching is exact."""
+    from collections import defaultdict
+
+    from ..ops.ref.itx import inv_txfm_add_batch
+
+    groups = defaultdict(list)
+    for pl, y, x, w, h, eob, txtp, cf in f.itx_jobs:
+        groups[(pl, w, h, txtp)].append((y, x, eob, cf))
+    planes = (f.cur.y, f.cur.u, f.cur.v)
+    bpc = f.cur.bpc
+    for (pl, w, h, txtp), jobs in groups.items():
+        ys = np.array([j[0] for j in jobs])
+        xs = np.array([j[1] for j in jobs])
+        eobs = np.array([j[2] for j in jobs])
+        sw, sh = min(w, 32), min(h, 32)
+        cfs = np.stack([j[3][: sw * sh] for j in jobs])
+        inv_txfm_add_batch(planes[pl], ys, xs, cfs, eobs, w, h, txtp, bpc)
 
 
 def decode_tile_sbrow_wrap(t, f, ts, sby):

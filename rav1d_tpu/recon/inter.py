@@ -300,10 +300,14 @@ def read_coef_tree(t, f, ts, bs, b, ytx, depth, tx_split, x_off, y_off, dst,
         if ap:
             eob, txtp, cf = store.pop(sz)
             if eob >= 0:
-                inv_txfm_add(
-                    dst[dst_y : dst_y + 4 * txh, dst_x : dst_x + 4 * txw],
-                    cf, eob, txw * 4, txh * 4, txtp, f.cur.bpc,
-                )
+                jobs = getattr(f, "itx_jobs", None)
+                if jobs is not None:
+                    jobs.append((0, dst_y, dst_x, txw * 4, txh * 4, eob, txtp, cf))
+                else:
+                    inv_txfm_add(
+                        dst[dst_y : dst_y + 4 * txh, dst_x : dst_x + 4 * txw],
+                        cf, eob, txw * 4, txh * 4, txtp, f.cur.bpc,
+                    )
 
 
 def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
@@ -699,18 +703,27 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
                             if ap:
                                 eob, txtp, cf = store.pop(sz)
                                 if eob >= 0:
-                                    inv_txfm_add(
-                                        uvpl[
-                                            4 * ((t.by >> ss_ver) + 0) : 4
-                                            * (t.by >> ss_ver)
-                                            + uvt_dim.h * 4,
-                                            4 * (t.bx >> ss_hor) + 4 * 0 : 4
-                                            * (t.bx >> ss_hor)
-                                            + uvt_dim.w * 4,
-                                        ],
-                                        cf, eob, uvt_dim.w * 4, uvt_dim.h * 4,
-                                        txtp, bpc,
-                                    )
+                                    jobs = getattr(f, "itx_jobs", None)
+                                    if jobs is not None:
+                                        jobs.append((
+                                            1 + pl, 4 * (t.by >> ss_ver),
+                                            4 * (t.bx >> ss_hor),
+                                            uvt_dim.w * 4, uvt_dim.h * 4,
+                                            eob, txtp, cf,
+                                        ))
+                                    else:
+                                        inv_txfm_add(
+                                            uvpl[
+                                                4 * ((t.by >> ss_ver) + 0) : 4
+                                                * (t.by >> ss_ver)
+                                                + uvt_dim.h * 4,
+                                                4 * (t.bx >> ss_hor) + 4 * 0 : 4
+                                                * (t.bx >> ss_hor)
+                                                + uvt_dim.w * 4,
+                                            ],
+                                            cf, eob, uvt_dim.w * 4, uvt_dim.h * 4,
+                                            txtp, bpc,
+                                        )
                             t.bx += uvt_dim.w << ss_hor
                             x += uvt_dim.w
                         t.bx -= x << ss_hor
