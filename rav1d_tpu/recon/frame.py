@@ -247,6 +247,7 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
 
     # phase 1: batchable inter blocks (prediction + deferred residuals)
     f.itx_jobs = []
+    f.mc_jobs = []
     for wi in items:
         if not batchable(wi):
             continue
@@ -256,6 +257,8 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
             t.warpmv = wi.warpmv
         t.tl_4x4_filter = wi.tl_4x4_filter
         recon_b_inter(t, f, wi.ts, wi.bs, wi.b, phase="apply", item=wi)
+    _run_mc_jobs(f)
+    f.mc_jobs = None
     _run_itx_jobs(f)
     f.itx_jobs = None
 
@@ -283,6 +286,30 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
         pos = end
         _backup_ipred_edges(f, tile_states, tile_row, cols, sby)
     f.work_items = []
+
+
+def _run_mc_jobs(f):
+    """Execute deferred simple 8-tap puts batched by (dst, src, size,
+    subpel pattern). Block destinations are disjoint; sources are completed
+    reference frames, so order is free."""
+    from ..ops.ref.mc import put_8tap_batch
+
+    groups = {}
+    for job in f.mc_jobs:
+        dst, dy, dx, src, sy, sx, w, h, fmx, fmy, f2d, vw, vh = job
+        key = (id(dst), id(src), w, h, fmx != 0, fmy != 0)
+        groups.setdefault(key, []).append(job)
+    bpc = f.cur.bpc
+    for jobs in groups.values():
+        dst, _, _, src, _, _, w, h, _, _, _, vw, vh = jobs[0]
+        put_8tap_batch(
+            dst, src,
+            [j[1] for j in jobs], [j[2] for j in jobs],
+            [j[4] for j in jobs], [j[5] for j in jobs],
+            w, h,
+            [j[8] for j in jobs], [j[9] for j in jobs],
+            [j[10] for j in jobs], vw, vh, bpc,
+        )
 
 
 def _run_itx_jobs(f):

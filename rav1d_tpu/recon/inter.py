@@ -23,9 +23,11 @@ def _plane(pic, pl):
 
 
 def mc(f, t, dst, dst_y, dst_x, bw4, bh4, bx, by, pl, mv, refp, refidx,
-       filter2d, prep=False):
+       filter2d, prep=False, defer_ok=False):
     """recon.rs mc:2025. If prep, returns an int32 (h, w) intermediate;
-    else writes pixels into dst at (dst_y, dst_x)."""
+    else writes pixels into dst at (dst_y, dst_x). With defer_ok and an
+    active f.mc_jobs list, simple unscaled 8-tap puts are queued for the
+    batched executor instead of running inline."""
     layout = f.cur.layout
     ss_ver = 1 if (pl and layout == PixelLayout.I420) else 0
     ss_hor = 1 if (pl and layout != PixelLayout.I444) else 0
@@ -65,6 +67,18 @@ def mc(f, t, dst, dst_y, dst_x, bw4, bh4, bx, by, pl, mv, refp, refidx,
             src, sy, sx = plane, dy, dx
         fmx = mx << (0 if ss_hor else 1)
         fmy = my << (0 if ss_ver else 1)
+        if (
+            defer_ok
+            and not prep
+            and filter2d != FILTER_2D_BILINEAR
+            and getattr(f, "mc_jobs", None) is not None
+            and src is plane
+        ):
+            f.mc_jobs.append(
+                (dst, dst_y, dst_x, plane, dy, dx, bw_px, bh_px, fmx, fmy,
+                 filter2d, w, h)
+            )
+            return None
         if prep:
             if filter2d == FILTER_2D_BILINEAR:
                 return M.prep_bilin(src, sy, sx, bw_px, bh_px, fmx, fmy, bpc)
@@ -463,6 +477,7 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
                 mc(
                     f, t, ypl, dsty, dstx, bw4, bh4, t.bx, t.by, 0,
                     tuple(b.mv[0]), refp, b.ref[0], filter2d,
+                    defer_ok=b.motion_mode != MM_OBMC,
                 )
                 if b.motion_mode == MM_OBMC:
                     obmc(f, t, ts, ypl, dsty, dstx, b_dim, 0, bx4, by4, w4, h4, item)
@@ -578,6 +593,7 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
                                 bh4 << (1 if bh4 == ss_ver else 0),
                                 t.bx & ~ss_hor, t.by & ~ss_ver, 1 + pl,
                                 tuple(b.mv[0]), refp, b.ref[0], filter2d,
+                                defer_ok=b.motion_mode != MM_OBMC,
                             )
                             if b.motion_mode == MM_OBMC:
                                 obmc(
