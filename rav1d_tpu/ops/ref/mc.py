@@ -549,6 +549,48 @@ def warp_affine_8x8(dst, dy, dx, src, sy, sx, abcd, mx, my, bpc):
     )
 
 
+def warp_affine_8x8_batch(dst, src, dys, dxs, sys_, sxs, abcds, mxs, mys,
+                          vis_w, vis_h, bpc):
+    """Batched warp_affine_8x8 over N tiles of one (dst, src) plane pair.
+    Source windows gathered with coordinate clamping (≡ emu_edge border
+    replication); per-tile affine params/phases. TPU warp kernel shape."""
+    N = len(dys)
+    F = _warp_filters()
+    ib = intermediate_bits(bpc)
+    pxmax = (1 << bpc) - 1
+    dys = np.asarray(dys)
+    dxs = np.asarray(dxs)
+    sys_ = np.asarray(sys_, dtype=np.int64)
+    sxs = np.asarray(sxs, dtype=np.int64)
+    abcds = np.asarray(abcds, dtype=np.int64)  # (N, 4)
+    mxs = np.asarray(mxs, dtype=np.int64)
+    mys = np.asarray(mys, dtype=np.int64)
+
+    rows = np.clip(sys_[:, None] - 3 + np.arange(15)[None, :], 0, vis_h - 1)
+    cols = np.clip(sxs[:, None] - 3 + np.arange(15)[None, :], 0, vis_w - 1)
+    region = src[rows[:, :, None], cols[:, None, :]].astype(np.int64)  # (N,15,15)
+
+    ys = np.arange(15, dtype=np.int64)[None, :, None]
+    xs = np.arange(8, dtype=np.int64)[None, None, :]
+    tmx = mxs[:, None, None] + ys * abcds[:, 1, None, None] + xs * abcds[:, 0, None, None]
+    taps = F[64 + ((tmx + 512) >> 10)]  # (N, 15, 8, 8)
+    win = np.lib.stride_tricks.sliding_window_view(region, 8, axis=2)  # (N,15,8,8)
+    sh = 7 - ib
+    mid = _i16(((taps * win).sum(axis=3) + ((1 << sh) >> 1)) >> sh)  # (N,15,8)
+
+    ys8 = np.arange(8, dtype=np.int64)[None, :, None]
+    tmy = mys[:, None, None] + ys8 * abcds[:, 3, None, None] + xs * abcds[:, 2, None, None]
+    vtaps = F[64 + ((tmy + 512) >> 10)]  # (N, 8, 8, 8)
+    vwin = np.lib.stride_tricks.sliding_window_view(mid, 8, axis=1)  # (N,8,8,8)
+    v = (vtaps * vwin).sum(axis=3)
+    sh = 7 + ib
+    out = np.clip((v + ((1 << sh) >> 1)) >> sh, 0, pxmax)
+
+    drows = dys[:, None] + np.arange(8)[None, :]
+    dcols = dxs[:, None] + np.arange(8)[None, :]
+    dst[drows[:, :, None], dcols[:, None, :]] = out.astype(dst.dtype)
+
+
 def warp_affine_8x8t(tmp, ty, tx, src, sy, sx, abcd, mx, my, bpc):
     """mc.rs warp_affine_8x8t_rust:980: prep-domain warp into tmp."""
     ib = intermediate_bits(bpc)

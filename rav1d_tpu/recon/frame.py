@@ -248,6 +248,7 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
     # phase 1: batchable inter blocks (prediction + deferred residuals)
     f.itx_jobs = []
     f.mc_jobs = []
+    f.warp_jobs = []
     for wi in items:
         if not batchable(wi):
             continue
@@ -259,6 +260,8 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
         recon_b_inter(t, f, wi.ts, wi.bs, wi.b, phase="apply", item=wi)
     _run_mc_jobs(f)
     f.mc_jobs = None
+    _run_warp_jobs(f)
+    f.warp_jobs = None
     _run_itx_jobs(f)
     f.itx_jobs = None
 
@@ -309,6 +312,26 @@ def _run_mc_jobs(f):
             w, h,
             [j[8] for j in jobs], [j[9] for j in jobs],
             [j[10] for j in jobs], vw, vh, bpc,
+        )
+
+
+def _run_warp_jobs(f):
+    """Execute deferred warp tiles batched per (dst, src) plane pair."""
+    from ..ops.ref.mc import warp_affine_8x8_batch
+
+    groups = {}
+    for job in f.warp_jobs:
+        key = (id(job[0]), id(job[3]))
+        groups.setdefault(key, []).append(job)
+    bpc = f.cur.bpc
+    for jobs in groups.values():
+        dst, _, _, src, _, _, _, _, _, vw, vh = jobs[0]
+        warp_affine_8x8_batch(
+            dst, src,
+            [j[1] for j in jobs], [j[2] for j in jobs],
+            [j[4] for j in jobs], [j[5] for j in jobs],
+            [j[6] for j in jobs], [j[7] for j in jobs], [j[8] for j in jobs],
+            vw, vh, bpc,
         )
 
 

@@ -239,6 +239,12 @@ def warp_affine(f, t, dst, dst_y, dst_x, prep_out, b_dim, pl, refp, wmp):
             mx = ((mvx & 0xFFFF) - wmp.alpha * 4 - wmp.beta * 7) & ~0x3F
             dy = (mvy >> 16) - 4
             my = ((mvy & 0xFFFF) - wmp.gamma * 4 - wmp.delta * 4) & ~0x3F
+            if prep_out is None and getattr(f, "warp_jobs", None) is not None:
+                f.warp_jobs.append(
+                    (dst, dst_y + y, dst_x + x, plane, dy, dx, abcd, mx, my,
+                     width, height)
+                )
+                continue
             if dx < 3 or dx + 8 + 4 > width or dy < 3 or dy + 8 + 4 > height:
                 src = M.emu_edge(15, 15, width, height, dx - 3, dy - 3, plane)
                 sy, sx = 3, 3
