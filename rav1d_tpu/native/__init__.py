@@ -80,9 +80,9 @@ class CoefCallParams(ctypes.Structure):
     ]
 
 
-def _build() -> str | None:
-    src = os.path.normpath(_SRC)
-    so = os.path.normpath(_SO)
+def _build(src=_SRC, so=_SO) -> str | None:
+    src = os.path.normpath(src)
+    so = os.path.normpath(so)
     if not os.path.exists(src):
         return None
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
@@ -95,6 +95,59 @@ def _build() -> str | None:
         except (subprocess.CalledProcessError, FileNotFoundError):
             return None
     return so
+
+
+class RefMvsCall(ctypes.Structure):
+    _fields_ = [
+        ("r", ctypes.c_void_p),
+        ("r_stride", ctypes.c_int32),
+        ("rp_proj", ctypes.c_void_p),
+        ("rp_stride", ctypes.c_int32),
+        ("bdims", ctypes.c_void_p),
+        ("pocdiff", ctypes.c_int32 * 7),
+        ("sign_bias", ctypes.c_int32 * 7),
+        ("use_ref_frame_mvs", ctypes.c_int32),
+        ("iw4", ctypes.c_int32),
+        ("ih4", ctypes.c_int32),
+        ("col_start", ctypes.c_int32),
+        ("col_end", ctypes.c_int32),
+        ("row_start", ctypes.c_int32),
+        ("row_end", ctypes.c_int32),
+        ("bs", ctypes.c_int32),
+        ("bw4", ctypes.c_int32),
+        ("bh4", ctypes.c_int32),
+        ("bx4", ctypes.c_int32),
+        ("by4", ctypes.c_int32),
+        ("ref0", ctypes.c_int32),
+        ("ref1", ctypes.c_int32),
+        ("edge_has_tr", ctypes.c_int32),
+        ("force_integer_mv", ctypes.c_int32),
+        ("hp", ctypes.c_int32),
+        ("use_rfm_hdr", ctypes.c_int32),
+        ("gmv", (ctypes.c_int32 * 2) * 2),
+        ("tgmv", (ctypes.c_int32 * 2) * 2),
+        ("out_mv", ((ctypes.c_int16 * 2) * 2) * 8),
+        ("out_weight", ctypes.c_int32 * 8),
+        ("out_cnt", ctypes.c_int32),
+        ("out_ctx", ctypes.c_int32),
+    ]
+
+
+def _load_refmvs():
+    if os.environ.get("RAV1D_TPU_NO_NATIVE"):
+        return None
+    src = os.path.join(_HERE, "..", "..", "native", "refmvs.c")
+    so = os.path.join(_HERE, "..", "..", "native", "librefmvs.so")
+    built = _build(src, so)
+    if built is None:
+        return None
+    try:
+        lib = ctypes.CDLL(built)
+    except OSError:
+        return None
+    lib.dav1d_refmvs_find.argtypes = [ctypes.POINTER(RefMvsCall)]
+    lib.dav1d_refmvs_find.restype = None
+    return lib
 
 
 def _load():
@@ -141,3 +194,6 @@ def _load():
 
 LIB = _load()
 AVAILABLE = LIB is not None
+
+
+LIB_REFMVS = _load_refmvs()

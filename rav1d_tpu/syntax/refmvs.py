@@ -464,6 +464,71 @@ def _add_single_extended_candidate(mvstack, cnt, cand, sign, sign_bias):
     return cnt
 
 
+_BDIMS_NP = None
+
+
+def _bdims_np():
+    global _BDIMS_NP
+    if _BDIMS_NP is None:
+        _BDIMS_NP = np.ascontiguousarray(
+            np.array([[d[0], d[1], d[2], d[3]] for d in BLOCK_DIMENSIONS], np.uint8)
+        )
+    return _BDIMS_NP
+
+
+def refmvs_find_native(rt, rf, ref_pair, bs, edge_flags, by4, bx4, frame_hdr):
+    """Native-core refmvs_find (native/refmvs.c); same returns as the
+    Python anchor below."""
+    from ..native import LIB_REFMVS, RefMvsCall
+    import ctypes
+
+    from .intra_edge import I444_TOP_HAS_RIGHT
+
+    b_dim = BLOCK_DIMENSIONS[bs]
+    bw4, bh4 = b_dim[0], b_dim[1]
+    p = RefMvsCall()
+    p.r = rf.r.ctypes.data
+    p.r_stride = rf.r_stride
+    p.rp_proj = rf.rp_proj.ctypes.data
+    p.rp_stride = rf.rp_stride
+    bd = _bdims_np()
+    p.bdims = bd.ctypes.data
+    for i in range(7):
+        p.pocdiff[i] = rf.pocdiff[i]
+        p.sign_bias[i] = rf.sign_bias[i]
+    p.use_ref_frame_mvs = rf.use_ref_frame_mvs
+    p.iw4, p.ih4 = rf.iw4, rf.ih4
+    p.col_start, p.col_end = rt.col_start, rt.col_end
+    p.row_start, p.row_end = rt.row_start, rt.row_end
+    p.bs, p.bw4, p.bh4 = bs, bw4, bh4
+    p.bx4, p.by4 = bx4, by4
+    p.ref0, p.ref1 = ref_pair[0], ref_pair[1]
+    p.edge_has_tr = 1 if (edge_flags & I444_TOP_HAS_RIGHT) else 0
+    p.force_integer_mv = 1 if frame_hdr.force_integer_mv else 0
+    p.hp = 1 if frame_hdr.hp else 0
+    p.use_rfm_hdr = 1 if frame_hdr.use_ref_frame_mvs else 0
+    for n in range(2):
+        tg = (0, 0)
+        gm = INVALID_MV
+        if ref_pair[n] > 0:
+            tg = get_gmv_2d(
+                frame_hdr.gmv[ref_pair[n] - 1], bx4, by4, bw4, bh4, frame_hdr
+            )
+            if frame_hdr.gmv[ref_pair[n] - 1].type > WarpedMotionType.TRANSLATION:
+                gm = tg
+        p.tgmv[n][0], p.tgmv[n][1] = tg[0], tg[1]
+        p.gmv[n][0], p.gmv[n][1] = gm[0], gm[1]
+
+    LIB_REFMVS.dav1d_refmvs_find(ctypes.byref(p))
+
+    mvstack = [Candidate() for _ in range(8)]
+    for i in range(8):
+        mvstack[i].mv[0] = [p.out_mv[i][0][0], p.out_mv[i][0][1]]
+        mvstack[i].mv[1] = [p.out_mv[i][1][0], p.out_mv[i][1][1]]
+        mvstack[i].weight = p.out_weight[i]
+    return mvstack, p.out_cnt, p.out_ctx
+
+
 def refmvs_find(rt, rf, ref_pair, bs, edge_flags, by4, bx4, frame_hdr):
     """refmvs.rs rav1d_refmvs_find:939.
 
@@ -471,6 +536,15 @@ def refmvs_find(rt, rf, ref_pair, bs, edge_flags, by4, bx4, frame_hdr):
     ref_pair: (ref0, ref1) in 1-based refs (0 = intrabc cur frame).
     edge_flags: syntax.intra_edge EdgeFlags of the block.
     """
+    from ..native import LIB_REFMVS
+
+    if LIB_REFMVS is not None:
+        return refmvs_find_native(rt, rf, ref_pair, bs, edge_flags, by4, bx4, frame_hdr)
+    return refmvs_find_py(rt, rf, ref_pair, bs, edge_flags, by4, bx4, frame_hdr)
+
+
+def refmvs_find_py(rt, rf, ref_pair, bs, edge_flags, by4, bx4, frame_hdr):
+    """Pure-Python refmvs_find (the correctness anchor for the C core)."""
     from .intra_edge import I444_TOP_HAS_RIGHT
 
     b_dim = BLOCK_DIMENSIONS[bs]
