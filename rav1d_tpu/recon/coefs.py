@@ -117,6 +117,12 @@ if _NATIVE:
     _TXSET_NP = np.asarray(TX_TYPES_PER_SET, dtype=np.uint8)
     _TXCLS_NP = np.asarray(TX_TYPE_CLASS, dtype=np.uint8)
 
+    _CP_REUSE = _CP()
+    _CP_REUSE.skip_ctx_tbl = _SKIP_CTX_NP.ctypes.data
+    _CP_REUSE.lo_ctx_offsets = _LO_CTX_NP.ctypes.data
+    _CP_REUSE.tx_types_per_set = _TXSET_NP.ctypes.data
+    _CP_REUSE.tx_type_class = _TXCLS_NP.ctypes.data
+
     def _coef_cdf_ptrs(coef):
         """Cache a CoefCdfPtrs struct on the cdf coef group (tables are
         contiguous numpy arrays whose buffers are stable for its lifetime)."""
@@ -140,7 +146,7 @@ if _NATIVE:
         t_dim = TXFM_DIMENSIONS[tx]
         layout = int(f.cur.layout)
 
-        p = _CP()
+        p = _CP_REUSE  # single decode thread: reuse one struct per call
         p.tdim_lw = t_dim.lw
         p.tdim_lh = t_dim.lh
         p.tdim_w = t_dim.w
@@ -209,10 +215,6 @@ if _NATIVE:
         p.a_off = a_off
         p.l = l.ctypes.data
         p.l_off = l_off
-        p.skip_ctx_tbl = _SKIP_CTX_NP.ctypes.data
-        p.lo_ctx_offsets = _LO_CTX_NP.ctypes.data
-        p.tx_types_per_set = _TXSET_NP.ctypes.data
-        p.tx_type_class = _TXCLS_NP.ctypes.data
         p.scan = SCANS[tx].ctypes.data
         qm_tbl = f.qm[tx][plane]
         p.qm = 0 if qm_tbl is None else qm_tbl.ctypes.data

@@ -16,6 +16,7 @@ from ..tables.wedge import II_MASKS, WEDGE_MASKS
 from ..ops.ref import mc as M
 from ..ops.ref.itx import inv_txfm_add
 from .coefs import decode_coefs
+from ..syntax.decode import trace
 
 
 def _plane(pic, pl):
@@ -261,8 +262,6 @@ def warp_affine(f, t, dst, dst_y, dst_x, prep_out, b_dim, pl, refp, wmp):
 def read_coef_tree(t, f, ts, bs, b, ytx, depth, tx_split, x_off, y_off, dst,
                    dst_y, dst_x, phase="both"):
     """recon.rs read_coef_tree: var-tx recursive coefficient decode + itx."""
-    from ..syntax.decode import trace
-
     rd = phase in ("both", "read")
     ap = phase in ("both", "apply")
     t_dim = TXFM_DIMENSIONS[ytx]
@@ -332,8 +331,6 @@ def read_coef_tree(t, f, ts, bs, b, ytx, depth, tx_split, x_off, y_off, dst,
 
 def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
     """recon.rs rav1d_recon_b_inter:3162."""
-    from ..syntax.decode import trace
-
     rd = phase in ("both", "read")
     ap = phase in ("both", "apply")
     from ..syntax.env import get_uv_inter_txtp

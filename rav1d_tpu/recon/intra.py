@@ -29,6 +29,7 @@ from ..headers import PixelLayout
 from ..tables.block_tables import BLOCK_DIMENSIONS, TXFM_DIMENSIONS
 from ..syntax import intra_edge as ie
 from .coefs import decode_coefs
+from ..syntax.decode import trace
 from .ipred_prepare import EDGE_OFF, prepare_intra_edges
 from ..ops.ref import ipred as P
 from ..ops.ref.itx import inv_txfm_add
@@ -203,8 +204,6 @@ def recon_b_intra(t, f, ts, bs, intra_edge_flags, b, phase="both", item=None):
                                 cf,
                             )
                             store.push(eob, txtp, sz)
-                            from ..syntax.decode import trace
-
                             trace(
                                 f"Post-y-cf-blk[tx={b.tx},txtp={txtp},eob={eob}]: r={ts.msac.rng}"
                             )
@@ -454,8 +453,6 @@ def _recon_chroma(
                             cf,
                         )
                         store.push(eob, txtp, sz)
-                        from ..syntax.decode import trace
-
                         trace(
                             f"Post-uv-cf-blk[pl={pl},tx={b.uvtx},txtp={txtp},eob={eob}]: r={ts.msac.rng}"
                         )
