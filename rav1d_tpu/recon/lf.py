@@ -85,7 +85,8 @@ def _fix_tile_cols(f):
 
 
 def _decomp_tx(txa, from_tx, depth, y_off, x_off, tx_masks):
-    """src/lf_mask.rs decomp_tx: fill per-cell (txw,txh) maps for var-tx."""
+    """src/lf_mask.rs decomp_tx: fill per-cell (txw,txh) maps for var-tx.
+    txa: np.uint8 array (2, 2, 32, 32); leaves filled with slice writes."""
     t_dim = TXFM_DIMENSIONS[from_tx]
     y0 = y_off * t_dim.h
     x0 = x_off * t_dim.w
@@ -103,15 +104,10 @@ def _decomp_tx(txa, from_tx, depth, y_off, x_off, tx_masks):
             if t_dim.w >= t_dim.h:
                 _decomp_tx(txa, sub, depth + 1, y_off * 2 + 1, x_off * 2 + 1, tx_masks)
     else:
-        lw = min(2, t_dim.lw)
-        lh = min(2, t_dim.lh)
-        for y in range(t_dim.h):
-            for x in range(t_dim.w):
-                txa[0][0][y0 + y][x0 + x] = lw
-                txa[1][0][y0 + y][x0 + x] = lh
-            txa[0][1][y0 + y][x0] = t_dim.w
-        for x in range(t_dim.w):
-            txa[1][1][y0][x0 + x] = t_dim.h
+        txa[0, 0, y0 : y0 + t_dim.h, x0 : x0 + t_dim.w] = min(2, t_dim.lw)
+        txa[1, 0, y0 : y0 + t_dim.h, x0 : x0 + t_dim.w] = min(2, t_dim.lh)
+        txa[0, 1, y0 : y0 + t_dim.h, x0] = t_dim.w
+        txa[1, 1, y0, x0 : x0 + t_dim.w] = t_dim.h
 
 
 def record_lf_intra(f, ts, t, b, bs, has_chroma):
@@ -189,43 +185,52 @@ def record_lf_inter(f, ts, t, b, bs, is_comp, has_chroma):
 
         t_dim = TXFM_DIMENSIONS[max_ytx]
         # decompose the var-tx tree into per-cell (lw, lh, stepw, steph) maps
-        txa = [
-            [[[0] * 32 for _ in range(32)] for _ in range(2)] for _ in range(2)
-        ]
+        txa = np.zeros((2, 2, 32, 32), dtype=np.uint8)
         for y_off in range((bh4 + t_dim.h - 1) // t_dim.h):
             for x_off in range((bw4 + t_dim.w - 1) // t_dim.w):
                 _decomp_tx(txa, max_ytx, 0, y_off, x_off, tx_masks)
 
         cls_v, cls_h = f.lf_cls[0], f.lf_cls[1]
+        ltx_l = t.l.tx_lpf_y
         # left block edge
-        for y in range(bh4):
-            cls_v[by + y, bx] = min(txa[0][0][y][0], t.l.tx_lpf_y[(by + y) & 31]) + 1
+        cls_v[by : by + bh4, bx] = (
+            np.minimum(
+                txa[0, 0, :bh4, 0],
+                np.array([ltx_l[(by + y) & 31] for y in range(bh4)], np.uint8),
+            )
+            + 1
+        )
         # top block edge
-        for x in range(bw4):
-            cls_h[by, bx + x] = min(txa[1][0][0][x], ts.a.tx_lpf_y[bx + x]) + 1
+        cls_h[by, bx : bx + bw4] = (
+            np.minimum(txa[1, 0, 0, :bw4], np.asarray(ts.a.tx_lpf_y[bx : bx + bw4], np.uint8)) + 1
+        )
         if not b.skip:
             # inner (tx) vertical edges
+            tv = txa[0, 0]
+            sv = txa[0, 1]
             for y in range(bh4):
-                ltx = txa[0][0][y][0]
-                x = txa[0][1][y][0]
+                ltx = tv[y, 0]
+                x = sv[y, 0]
                 while x < bw4:
-                    rtx = txa[0][0][y][x]
+                    rtx = tv[y, x]
                     cls_v[by + y, bx + x] = min(rtx, ltx) + 1
                     ltx = rtx
-                    x += txa[0][1][y][x]
+                    x += sv[y, x]
             # inner (tx) horizontal edges
+            th = txa[1, 0]
+            sh = txa[1, 1]
             for x in range(bw4):
-                ttx = txa[1][0][0][x]
-                y = txa[1][1][0][x]
+                ttx = th[0, x]
+                y = sh[0, x]
                 while y < bh4:
-                    btx = txa[1][0][y][x]
+                    btx = th[y, x]
                     cls_h[by + y, bx + x] = min(ttx, btx) + 1
                     ttx = btx
-                    y += txa[1][1][y][x]
+                    y += sh[y, x]
         for y in range(bh4):
-            t.l.tx_lpf_y[(by + y) & 31] = txa[0][0][y][bw4 - 1]
+            t.l.tx_lpf_y[(by + y) & 31] = txa[0, 0, y, bw4 - 1]
         for x in range(bw4):
-            ts.a.tx_lpf_y[bx + x] = txa[1][0][bh4 - 1][x]
+            ts.a.tx_lpf_y[bx + x] = txa[1, 0, bh4 - 1, x]
 
     if not has_chroma:
         return
