@@ -839,19 +839,29 @@ def inv_txfm_add_batch(dst, ys, xs, cfs, eobs, w, h, txtp, bpc):
             r0, c0 = ys[i], xs[i]
             _wht_add(dst[r0 : r0 + h, c0 : c0 + w], cfs[i], bpc)
         return
+    res = compute_residual_batch(cfs, eobs, w, h, txtp, bpc)
+    ys = np.asarray(ys)
+    xs = np.asarray(xs)
+    rows = ys[:, None, None] + np.arange(h)[None, :, None]
+    cols = xs[:, None, None] + np.arange(w)[None, None, :]
+    pixel_max = (1 << bpc) - 1
+    win = dst[rows, cols].astype(np.int64)
+    dst[rows, cols] = np.clip(win + res, 0, pixel_max).astype(dst.dtype)
+
+
+def compute_residual_batch(cfs, eobs, w, h, txtp, bpc):
+    """Batched inverse transform WITHOUT the pixel add: (N, sw*sh) coef rows
+    -> (N, h, w) int64 residuals. Shared by inv_txfm_add_batch and the
+    wavefront residual precompute (intra blocks' residuals are
+    neighbour-independent even though their predictions are not)."""
     first_name, second_name = _TXTP_1D[txtp]
     has_dconly = 1 if txtp == DCT_DCT else 0
     shift = _SHIFTS[(w, h)]
     is_rect2 = w * 2 == h or h * 2 == w
     rnd = (1 << shift) >> 1
-    pixel_max = (1 << bpc) - 1
-    ys = np.asarray(ys)
-    xs = np.asarray(xs)
     eobs = np.asarray(eobs)
     cfs = np.asarray(cfs, dtype=np.int64)
-    N = len(ys)
-    rows = ys[:, None, None] + np.arange(h)[None, :, None]
-    cols = xs[:, None, None] + np.arange(w)[None, None, :]
+    N = len(eobs)
 
     dc_sel = eobs < has_dconly
     res = np.zeros((N, h, w), dtype=np.int64)
@@ -892,9 +902,7 @@ def inv_txfm_add_batch(dst, ys, xs, cfs, eobs, w, h, txtp, bpc):
         c2 = np.ascontiguousarray(tmp.transpose(1, 0, 2).reshape(h, M * w))
         _FAMILY[second_name][h](c2, col_clip_min, col_clip_max)
         res[full] = (c2.reshape(h, M, w).transpose(1, 0, 2) + 8) >> 4
-
-    win = dst[rows, cols].astype(np.int64)
-    dst[rows, cols] = np.clip(win + res, 0, pixel_max).astype(dst.dtype)
+    return res
 
 
 def _wht_add(dst, coeff, bpc):

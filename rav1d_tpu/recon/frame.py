@@ -265,6 +265,10 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
     _run_itx_jobs(f)
     f.itx_jobs = None
 
+    # precompute wavefront residuals batched (residuals are entropy-only
+    # products, independent of the prediction wavefront)
+    _precompute_wavefront_residuals(f, items, batchable)
+
     # phase 2: wavefront items per sbrow in decode order
     pos = 0
     for tile_row, sby, end in sbrow_marks:
@@ -289,6 +293,44 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
         pos = end
         _backup_ipred_edges(f, tile_states, tile_row, cols, sby)
     f.work_items = []
+
+
+def _precompute_wavefront_residuals(f, items, batchable):
+    """Batch-compute the inverse transforms of every wavefront (intra /
+    intrabc / inter-intra) txblock up front, grouped by (w, h, txtp); the
+    per-block wavefront then only predicts and adds. WHT (lossless) blocks
+    fall back to the inline path."""
+    from collections import defaultdict
+
+    from ..ops.ref.itx import compute_residual_batch
+    from ..syntax.levels import WHT_WHT
+
+    store = f.coef_store
+    n = len(items)
+    groups = defaultdict(list)
+    for i, wi in enumerate(items):
+        if batchable(wi):
+            continue
+        end = items[i + 1].tx_pos if i + 1 < n else store.tx_pos
+        for tx in range(wi.tx_pos, end):
+            eob = int(store.eob[tx])
+            if eob < 0:
+                continue
+            tp = int(store.txtp[tx])
+            if tp == WHT_WHT:
+                continue
+            groups[(int(store.txw[tx]), int(store.txh[tx]), tp)].append(tx)
+    res = {}
+    bpc = f.cur.bpc
+    for (w, h, tp), idxs in groups.items():
+        sw, sh = min(w, 32), min(h, 32)
+        cfs = np.stack(
+            [store.cf[store.cf_off[i] : store.cf_off[i] + sw * sh] for i in idxs]
+        )
+        out = compute_residual_batch(cfs, store.eob[idxs], w, h, tp, bpc)
+        for k, i in enumerate(idxs):
+            res[i] = out[k]
+    store.residuals = res
 
 
 def _run_mc_jobs(f):

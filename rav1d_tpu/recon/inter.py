@@ -309,7 +309,7 @@ def read_coef_tree(t, f, ts, bs, b, ytx, depth, tx_split, x_off, y_off, dst,
             eob, txtp, cf_ctx = decode_coefs(
                 f, ts, ts.a.lcoef, t.l.lcoef, t.bx, by4, ytx, bs, b, 0, 0, cf
             )
-            store.push(eob, txtp, sz)
+            store.push(eob, txtp, sz, txw * 4, txh * 4)
             trace(f"Post-y-cf-blk[tx={ytx},txtp={txtp},eob={eob}]: r={ts.msac.rng}")
             for i in range(min(txh, f.bh - t.by)):
                 t.l.lcoef[(by4 + i) & 31] = cf_ctx
@@ -317,16 +317,26 @@ def read_coef_tree(t, f, ts, bs, b, ytx, depth, tx_split, x_off, y_off, dst,
                 ts.a.lcoef[t.bx + i] = cf_ctx
             t.txtp_map[by4 : by4 + txh, bx4 : bx4 + txw] = txtp
         if ap:
-            eob, txtp, cf = store.pop(sz)
+            idx, eob, txtp, cf = store.pop_idx(sz)
             if eob >= 0:
                 jobs = getattr(f, "itx_jobs", None)
                 if jobs is not None:
                     jobs.append((0, dst_y, dst_x, txw * 4, txh * 4, eob, txtp, cf))
                 else:
-                    inv_txfm_add(
-                        dst[dst_y : dst_y + 4 * txh, dst_x : dst_x + 4 * txw],
-                        cf, eob, txw * 4, txh * 4, txtp, f.cur.bpc,
+                    dv = dst[dst_y : dst_y + 4 * txh, dst_x : dst_x + 4 * txw]
+                    res = (
+                        store.residuals.get(idx)
+                        if store.residuals is not None
+                        else None
                     )
+                    if res is not None:
+                        dv[:, :] = np.clip(
+                            dv.astype(np.int64) + res, 0, (1 << f.cur.bpc) - 1
+                        ).astype(dv.dtype)
+                    else:
+                        inv_txfm_add(
+                            dv, cf, eob, txw * 4, txh * 4, txtp, f.cur.bpc,
+                        )
 
 
 def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
@@ -706,7 +716,7 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
                                     (t.bx >> ss_hor), cby4 + y, b.uvtx, bs, b, 0,
                                     1 + pl, cf, ytxtp,
                                 )
-                                store.push(eob, txtp, sz)
+                                store.push(eob, txtp, sz, uvt_dim.w * 4, uvt_dim.h * 4)
                                 trace(
                                     f"Post-uv-cf-blk[pl={pl},tx={b.uvtx},"
                                     f"txtp={txtp},eob={eob}]: r={ts.msac.rng}"
@@ -720,7 +730,7 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
                                 ):
                                     ts.a.ccoef[pl][(t.bx >> ss_hor) + i] = cf_ctx
                             if ap:
-                                eob, txtp, cf = store.pop(sz)
+                                idx, eob, txtp, cf = store.pop_idx(sz)
                                 if eob >= 0:
                                     jobs = getattr(f, "itx_jobs", None)
                                     if jobs is not None:
@@ -731,18 +741,29 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
                                             eob, txtp, cf,
                                         ))
                                     else:
-                                        inv_txfm_add(
-                                            uvpl[
-                                                4 * ((t.by >> ss_ver) + 0) : 4
-                                                * (t.by >> ss_ver)
-                                                + uvt_dim.h * 4,
-                                                4 * (t.bx >> ss_hor) + 4 * 0 : 4
-                                                * (t.bx >> ss_hor)
-                                                + uvt_dim.w * 4,
-                                            ],
-                                            cf, eob, uvt_dim.w * 4, uvt_dim.h * 4,
-                                            txtp, bpc,
+                                        dv = uvpl[
+                                            4 * (t.by >> ss_ver) : 4
+                                            * (t.by >> ss_ver)
+                                            + uvt_dim.h * 4,
+                                            4 * (t.bx >> ss_hor) : 4
+                                            * (t.bx >> ss_hor)
+                                            + uvt_dim.w * 4,
+                                        ]
+                                        res = (
+                                            store.residuals.get(idx)
+                                            if store.residuals is not None
+                                            else None
                                         )
+                                        if res is not None:
+                                            dv[:, :] = np.clip(
+                                                dv.astype(np.int64) + res, 0,
+                                                (1 << bpc) - 1,
+                                            ).astype(dv.dtype)
+                                        else:
+                                            inv_txfm_add(
+                                                dv, cf, eob, uvt_dim.w * 4,
+                                                uvt_dim.h * 4, txtp, bpc,
+                                            )
                             t.bx += uvt_dim.w << ss_hor
                             x += uvt_dim.w
                         t.bx -= x << ss_hor

@@ -203,7 +203,7 @@ def recon_b_intra(t, f, ts, bs, intra_edge_flags, b, phase="both", item=None):
                                 0,
                                 cf,
                             )
-                            store.push(eob, txtp, sz)
+                            store.push(eob, txtp, sz, t_dim.w * 4, t_dim.h * 4)
                             trace(
                                 f"Post-y-cf-blk[tx={b.tx},txtp={txtp},eob={eob}]: r={ts.msac.rng}"
                             )
@@ -212,15 +212,25 @@ def recon_b_intra(t, f, ts, bs, intra_edge_flags, b, phase="both", item=None):
                             for i in range(min(t_dim.w, f.bw - t.bx)):
                                 ts.a.lcoef[t.bx + i] = cf_ctx
                         if ap:
-                            eob, txtp, cf = store.pop(sz)
+                            idx, eob, txtp, cf = store.pop_idx(sz)
                             if eob >= 0:
                                 dst = ypl[
                                     4 * t.by : 4 * t.by + t_dim.h * 4,
                                     4 * t.bx : 4 * t.bx + t_dim.w * 4,
                                 ]
-                                inv_txfm_add(
-                                    dst, cf, eob, t_dim.w * 4, t_dim.h * 4, txtp, bpc
+                                res = (
+                                    store.residuals.get(idx)
+                                    if store.residuals is not None
+                                    else None
                                 )
+                                if res is not None:
+                                    dst[:, :] = np.clip(
+                                        dst.astype(np.int64) + res, 0, (1 << bpc) - 1
+                                    ).astype(dst.dtype)
+                                else:
+                                    inv_txfm_add(
+                                        dst, cf, eob, t_dim.w * 4, t_dim.h * 4, txtp, bpc
+                                    )
                     elif rd:
                         for i in range(t_dim.h):
                             t.l.lcoef[(by4 + y + i) & 31] = 0x40
@@ -452,7 +462,7 @@ def _recon_chroma(
                             1 + pl,
                             cf,
                         )
-                        store.push(eob, txtp, sz)
+                        store.push(eob, txtp, sz, uv_t_dim.w * 4, uv_t_dim.h * 4)
                         trace(
                             f"Post-uv-cf-blk[pl={pl},tx={b.uvtx},txtp={txtp},eob={eob}]: r={ts.msac.rng}"
                         )
@@ -465,7 +475,7 @@ def _recon_chroma(
                         ):
                             ts.a.ccoef[pl][(t.bx >> ss_hor) + i] = cf_ctx
                     if ap:
-                        eob, txtp, cf = store.pop(sz)
+                        idx, eob, txtp, cf = store.pop_idx(sz)
                         if eob >= 0:
                             xpos = t.bx >> ss_hor
                             ypos = t.by >> ss_ver
@@ -473,9 +483,19 @@ def _recon_chroma(
                                 4 * ypos : 4 * ypos + uv_t_dim.h * 4,
                                 4 * xpos : 4 * xpos + uv_t_dim.w * 4,
                             ]
-                            inv_txfm_add(
-                                dst, cf, eob, uv_t_dim.w * 4, uv_t_dim.h * 4, txtp, bpc
+                            res = (
+                                store.residuals.get(idx)
+                                if store.residuals is not None
+                                else None
                             )
+                            if res is not None:
+                                dst[:, :] = np.clip(
+                                    dst.astype(np.int64) + res, 0, (1 << bpc) - 1
+                                ).astype(dst.dtype)
+                            else:
+                                inv_txfm_add(
+                                    dst, cf, eob, uv_t_dim.w * 4, uv_t_dim.h * 4, txtp, bpc
+                                )
                 elif rd:
                     for i in range(uv_t_dim.h):
                         t.l.ccoef[pl][(cby4 + y + i) & 31] = 0x40

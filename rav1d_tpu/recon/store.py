@@ -26,10 +26,14 @@ class CoefStore:
         self.cf = np.zeros(cap_cf, dtype=np.int32)
         self.eob = np.zeros(cap_tx, dtype=np.int32)
         self.txtp = np.zeros(cap_tx, dtype=np.int32)
+        self.txw = np.zeros(cap_tx, dtype=np.int16)  # pixel dims for batching
+        self.txh = np.zeros(cap_tx, dtype=np.int16)
+        self.cf_off = np.zeros(cap_tx, dtype=np.int64)
         self.cf_pos = 0
         self.tx_pos = 0
         self.cf_rpos = 0
         self.tx_rpos = 0
+        self.residuals = None  # optional tx_idx -> precomputed (h, w) residual
 
     def alloc_cf(self, sz):
         """Zeroed cf slice for decode_coefs to fill in place."""
@@ -37,19 +41,28 @@ class CoefStore:
         s[:] = 0
         return s
 
-    def push(self, eob, txtp, sz):
+    def push(self, eob, txtp, sz, w=0, h=0):
         self.eob[self.tx_pos] = eob
         self.txtp[self.tx_pos] = txtp
+        self.txw[self.tx_pos] = w
+        self.txh[self.tx_pos] = h
+        self.cf_off[self.tx_pos] = self.cf_pos
         self.tx_pos += 1
         self.cf_pos += sz
 
     def pop(self, sz):
-        eob = int(self.eob[self.tx_rpos])
-        txtp = int(self.txtp[self.tx_rpos])
+        idx = self.tx_rpos
+        eob = int(self.eob[idx])
+        txtp = int(self.txtp[idx])
         self.tx_rpos += 1
         cf = self.cf[self.cf_rpos : self.cf_rpos + sz]
         self.cf_rpos += sz
         return eob, txtp, cf
+
+    def pop_idx(self, sz):
+        idx = self.tx_rpos
+        eob, txtp, cf = self.pop(sz)
+        return idx, eob, txtp, cf
 
     def seek(self, tx_pos, cf_pos):
         self.tx_rpos = tx_pos
