@@ -108,16 +108,25 @@ def put_8tap(dst, dy, dx, src, sy, sx, w, h, mx, my, filter2d, bpc):
 def put_8tap_batch(dst, src, dys, dxs, sys_, sxs, w, h, mxs, mys, f2ds,
                    vis_w, vis_h, bpc):
     """Batched put_8tap over N same-size blocks of one (dst, src) plane pair.
+    See compute_8tap_batch; kept for same-dst batches."""
+    out = compute_8tap_batch(src, sys_, sxs, w, h, mxs, mys, f2ds, vis_w,
+                             vis_h, bpc)
+    dys = np.asarray(dys)
+    dxs = np.asarray(dxs)
+    drows = dys[:, None] + np.arange(h)[None, :]
+    dcols = dxs[:, None] + np.arange(w)[None, :]
+    dst[drows[:, :, None], dcols[:, None, :]] = out.astype(dst.dtype)
+
+
+def compute_8tap_batch(src, sys_, sxs, w, h, mxs, mys, f2ds, vis_w, vis_h, bpc):
+    """Batched 8-tap filtering over N same-size blocks of one src plane.
 
     All jobs share (w, h) and the same subpel-presence pattern
     (all mxs nonzero or all zero; same for mys) — the executor buckets by
     that. Source windows are gathered with coordinate clamping, which
-    reproduces emu_edge's border replication exactly; destination regions
-    are disjoint, so scatter order is irrelevant. This gather→separable
-    filter→scatter dataflow is the TPU mc kernel shape."""
-    N = len(dys)
-    dys = np.asarray(dys)
-    dxs = np.asarray(dxs)
+    reproduces emu_edge's border replication exactly. This gather→separable
+    filter dataflow is the TPU mc kernel shape. Returns (N, h, w) int64."""
+    N = len(sys_)
     sys_ = np.asarray(sys_)
     sxs = np.asarray(sxs)
     mxs = np.asarray(mxs)
@@ -174,10 +183,7 @@ def put_8tap_batch(dst, src, dys, dxs, sys_, sxs, w, h, mxs, mys, f2ds,
         out = np.clip((out + 32) >> 6, 0, pxmax)
     else:
         out = gather(sys_, h, sxs, w)
-
-    drows = dys[:, None] + np.arange(h)[None, :]
-    dcols = dxs[:, None] + np.arange(w)[None, :]
-    dst[drows[:, :, None], dcols[:, None, :]] = out.astype(dst.dtype)
+    return out
 
 
 def prep_8tap(src, sy, sx, w, h, mx, my, filter2d, bpc):

@@ -249,6 +249,7 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
     f.itx_jobs = []
     f.mc_jobs = []
     f.warp_jobs = []
+    f.obmc_blends = []
     for wi in items:
         if not batchable(wi):
             continue
@@ -262,6 +263,8 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
     f.mc_jobs = None
     _run_warp_jobs(f)
     f.warp_jobs = None
+    _run_obmc_blends(f)
+    f.obmc_blends = None
     _run_itx_jobs(f)
     f.itx_jobs = None
 
@@ -334,27 +337,41 @@ def _precompute_wavefront_residuals(f, items, batchable):
 
 
 def _run_mc_jobs(f):
-    """Execute deferred simple 8-tap puts batched by (dst, src, size,
-    subpel pattern). Block destinations are disjoint; sources are completed
-    reference frames, so order is free."""
-    from ..ops.ref.mc import put_8tap_batch
+    """Execute deferred simple 8-tap puts batched by (src plane, size,
+    subpel pattern). Destinations may differ per job (frame planes, OBMC
+    lap buffers); filtering is batched, the scatter is per job."""
+    from ..ops.ref.mc import compute_8tap_batch
 
     groups = {}
     for job in f.mc_jobs:
         dst, dy, dx, src, sy, sx, w, h, fmx, fmy, f2d, vw, vh = job
-        key = (id(dst), id(src), w, h, fmx != 0, fmy != 0)
+        key = (id(src), w, h, fmx != 0, fmy != 0)
         groups.setdefault(key, []).append(job)
     bpc = f.cur.bpc
     for jobs in groups.values():
-        dst, _, _, src, _, _, w, h, _, _, _, vw, vh = jobs[0]
-        put_8tap_batch(
-            dst, src,
-            [j[1] for j in jobs], [j[2] for j in jobs],
+        _, _, _, src, _, _, w, h, _, _, _, vw, vh = jobs[0]
+        out = compute_8tap_batch(
+            src,
             [j[4] for j in jobs], [j[5] for j in jobs],
             w, h,
             [j[8] for j in jobs], [j[9] for j in jobs],
             [j[10] for j in jobs], vw, vh, bpc,
         )
+        for k, j in enumerate(jobs):
+            j[0][j[1] : j[1] + h, j[2] : j[2] + w] = out[k].astype(j[0].dtype)
+
+
+def _run_obmc_blends(f):
+    """Apply deferred OBMC blends in decode order (top laps before left
+    laps within a block, rav1d obmc ordering; regions of different blocks
+    are disjoint)."""
+    from ..ops.ref import mc as M
+
+    for kind, dst, dy, dx, lap, w, h in f.obmc_blends:
+        if kind == "h":
+            M.blend_h(dst, dy, dx, lap, w, h)
+        else:
+            M.blend_v(dst, dy, dx, lap, w, h)
 
 
 def _run_warp_jobs(f):

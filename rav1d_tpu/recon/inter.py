@@ -184,8 +184,14 @@ def obmc(f, t, ts, dst, dst_y, dst_x, b_dim, pl, bx4, by4, w4, h4, item=None):
                     f, t, lap, 0, 0, ow4, (oh4 * 3 + 3) >> 2, t.bx + x, t.by, pl,
                     (int(a_r["mv"][0][0]), int(a_r["mv"][0][1])),
                     f.refp[int(a_r["ref"][0]) - 1], int(a_r["ref"][0]) - 1, f2d,
+                    defer_ok=True,
                 )
-                M.blend_h(dst, dst_y, dst_x + x * h_mul, lap, h_mul * ow4, v_mul * oh4)
+                blends = getattr(f, "obmc_blends", None)
+                if blends is not None:
+                    blends.append(("h", dst, dst_y, dst_x + x * h_mul, lap,
+                                   h_mul * ow4, v_mul * oh4))
+                else:
+                    M.blend_h(dst, dst_y, dst_x + x * h_mul, lap, h_mul * ow4, v_mul * oh4)
                 i += 1
             x += step4
     if t.bx > ts.col_start:
@@ -206,8 +212,14 @@ def obmc(f, t, ts, dst, dst_y, dst_x, b_dim, pl, bx4, by4, w4, h4, item=None):
                     f, t, lap, 0, 0, ow4, oh4, t.bx, t.by + y, pl,
                     (int(l_r["mv"][0][0]), int(l_r["mv"][0][1])),
                     f.refp[int(l_r["ref"][0]) - 1], int(l_r["ref"][0]) - 1, f2d,
+                    defer_ok=True,
                 )
-                M.blend_v(dst, dst_y + y * v_mul, dst_x, lap, h_mul * ow4, v_mul * oh4)
+                blends = getattr(f, "obmc_blends", None)
+                if blends is not None:
+                    blends.append(("v", dst, dst_y + y * v_mul, dst_x, lap,
+                                   h_mul * ow4, v_mul * oh4))
+                else:
+                    M.blend_v(dst, dst_y + y * v_mul, dst_x, lap, h_mul * ow4, v_mul * oh4)
                 i += 1
             y += step4
     return None
