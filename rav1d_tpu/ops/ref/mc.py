@@ -186,6 +186,69 @@ def compute_8tap_batch(src, sys_, sxs, w, h, mxs, mys, f2ds, vis_w, vis_h, bpc):
     return out
 
 
+def compute_prep_8tap_batch(src, sys_, sxs, w, h, mxs, mys, f2ds, vis_w,
+                            vis_h, bpc):
+    """Batched prep_8tap over N same-size blocks of one src plane (same
+    bucketing rules as compute_8tap_batch). Returns (N, h, w) int32 prep
+    intermediates (i16 values, PREP_BIAS subtracted)."""
+    N = len(sys_)
+    sys_ = np.asarray(sys_)
+    sxs = np.asarray(sxs)
+    mxs = np.asarray(mxs)
+    mys = np.asarray(mys)
+    f2ds = np.asarray(f2ds)
+    F = np.asarray(MC_SUBPEL_FILTERS, dtype=np.int64)
+    FD = np.asarray(FILTER_DIR, dtype=np.int64)[f2ds]
+    ib = intermediate_bits(bpc)
+    bias = prep_bias(bpc)
+    has_h = bool(mxs[0])
+    has_v = bool(mys[0])
+
+    def gather(y0s, nrow, x0s, ncol):
+        rows = np.clip(y0s[:, None] + np.arange(nrow)[None, :], 0, vis_h - 1)
+        cols = np.clip(x0s[:, None] + np.arange(ncol)[None, :], 0, vis_w - 1)
+        return src[rows[:, :, None], cols[:, None, :]].astype(np.int64)
+
+    def hrow(ft_dir):
+        i = np.where(w > 4, ft_dir, 3 + (ft_dir & 1))
+        return F[i, mxs - 1]
+
+    def vrow(ft_dir):
+        i = np.where(h > 4, ft_dir, 3 + (ft_dir & 1))
+        return F[i, mys - 1]
+
+    sh = 6 - ib
+    if has_h and has_v:
+        win = gather(sys_ - 3, h + 7, sxs - 3, w + 7)
+        fh = hrow(FD[:, 0])
+        fv = vrow(FD[:, 1])
+        mid = np.zeros((N, h + 7, w), dtype=np.int64)
+        for k in range(8):
+            mid += fh[:, k, None, None] * win[:, :, k : k + w]
+        mid = _i16((mid + ((1 << sh) >> 1)) >> sh)
+        out = np.zeros((N, h, w), dtype=np.int64)
+        for k in range(8):
+            out += fv[:, k, None, None] * mid[:, k : k + h, :]
+        out = ((out + 32) >> 6) - bias
+    elif has_h:
+        win = gather(sys_, h, sxs - 3, w + 7)
+        fh = hrow(FD[:, 0])
+        out = np.zeros((N, h, w), dtype=np.int64)
+        for k in range(8):
+            out += fh[:, k, None, None] * win[:, :, k : k + w]
+        out = ((out + ((1 << sh) >> 1)) >> sh) - bias
+    elif has_v:
+        win = gather(sys_ - 3, h + 7, sxs, w)
+        fv = vrow(FD[:, 1])
+        out = np.zeros((N, h, w), dtype=np.int64)
+        for k in range(8):
+            out += fv[:, k, None, None] * win[:, k : k + h, :]
+        out = ((out + ((1 << sh) >> 1)) >> sh) - bias
+    else:
+        out = (gather(sys_, h, sxs, w) << ib) - bias
+    return _i16(out).astype(np.int32)
+
+
 def prep_8tap(src, sy, sx, w, h, mx, my, filter2d, bpc):
     """mc.rs prep_8tap_rust:277. Returns (h, w) int32 intermediate."""
     ft_h, ft_v = FILTER_DIR[filter2d]

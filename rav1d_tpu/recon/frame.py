@@ -250,6 +250,9 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
     f.mc_jobs = []
     f.warp_jobs = []
     f.obmc_blends = []
+    f.prep_jobs = []
+    f.comp_combines = []
+    f.prep_results = None
     for wi in items:
         if not batchable(wi):
             continue
@@ -263,6 +266,11 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
     f.mc_jobs = None
     _run_warp_jobs(f)
     f.warp_jobs = None
+    _run_prep_jobs(f)
+    f.prep_jobs = None
+    for fn in f.comp_combines:
+        fn()
+    f.comp_combines = None
     _run_obmc_blends(f)
     f.obmc_blends = None
     _run_itx_jobs(f)
@@ -359,6 +367,31 @@ def _run_mc_jobs(f):
         )
         for k, j in enumerate(jobs):
             j[0][j[1] : j[1] + h, j[2] : j[2] + w] = out[k].astype(j[0].dtype)
+
+
+def _run_prep_jobs(f):
+    """Execute deferred compound prep filters batched by (src plane, size,
+    subpel pattern); results land in f.prep_results for the combiners."""
+    from ..ops.ref.mc import compute_prep_8tap_batch
+
+    f.prep_results = [None] * len(f.prep_jobs)
+    groups = {}
+    for idx, job in enumerate(f.prep_jobs):
+        plane, dy, dx, w, h, fmx, fmy, f2d, vw, vh = job
+        key = (id(plane), w, h, fmx != 0, fmy != 0)
+        groups.setdefault(key, []).append((idx, job))
+    bpc = f.cur.bpc
+    for pairs in groups.values():
+        _, (plane, _, _, w, h, _, _, _, vw, vh) = pairs[0][0], pairs[0][1]
+        out = compute_prep_8tap_batch(
+            plane,
+            [j[1] for _, j in pairs], [j[2] for _, j in pairs],
+            w, h,
+            [j[5] for _, j in pairs], [j[6] for _, j in pairs],
+            [j[7] for _, j in pairs], vw, vh, bpc,
+        )
+        for k, (idx, _) in enumerate(pairs):
+            f.prep_results[idx] = out[k]
 
 
 def _run_obmc_blends(f):

@@ -23,6 +23,20 @@ def _plane(pic, pl):
     return (pic.y, pic.u, pic.v)[pl]
 
 
+class _PrepHandle:
+    """Placeholder for a deferred compound prep result (index into
+    f.prep_results, filled by the batched prep executor)."""
+
+    __slots__ = ("idx",)
+
+    def __init__(self, idx):
+        self.idx = idx
+
+
+def _resolve(x, f):
+    return f.prep_results[x.idx] if isinstance(x, _PrepHandle) else x
+
+
 def mc(f, t, dst, dst_y, dst_x, bw4, bh4, bx, by, pl, mv, refp, refidx,
        filter2d, prep=False, defer_ok=False):
     """recon.rs mc:2025. If prep, returns an int32 (h, w) intermediate;
@@ -53,6 +67,17 @@ def mc(f, t, dst, dst_y, dst_x, bw4, bh4, bx, by, pl, mv, refp, refidx,
             h = (f.bh * 4) >> ss_ver
         mx3 = 3 if mx else 0
         my3 = 3 if my else 0
+        if (
+            prep
+            and defer_ok
+            and filter2d != FILTER_2D_BILINEAR
+            and getattr(f, "prep_jobs", None) is not None
+        ):
+            f.prep_jobs.append(
+                (plane, dy, dx, bw_px, bh_px, mx << (0 if ss_hor else 1),
+                 my << (0 if ss_ver else 1), filter2d, w, h)
+            )
+            return _PrepHandle(len(f.prep_jobs) - 1)
         if (
             dx < mx3
             or dy < my3
@@ -410,82 +435,96 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
                     )
         elif b.comp_type != COMP_INTER_NONE:
             filter2d = b.filter2d
-            tmp = [None, None]
-            jnt_weight = 0
-            seg_mask = None
-            for i in range(2):
+            combines = getattr(f, "comp_combines", None)
+            holder = {}
+
+            def emit(fn):
+                if combines is not None:
+                    combines.append(fn)
+                else:
+                    fn()
+
+            def prep_one(i, pl, cw, ch):
                 refp = f.refp[b.ref[i]]
-                if b.inter_mode == GLOBALMV_GLOBALMV and f.gmv_warp_allowed[b.ref[i]]:
-                    tmp[i] = np.zeros((bh4 * 4, bw4 * 4), dtype=np.int32)
+                use_warp = (
+                    b.inter_mode == GLOBALMV_GLOBALMV
+                    and f.gmv_warp_allowed[b.ref[i]]
+                    and (pl == 0 or min(cbw4, cbh4) > 1)
+                )
+                if use_warp:
+                    arr = np.zeros((ch, cw), dtype=np.int32)
                     warp_affine(
-                        f, t, None, 0, 0, tmp[i], b_dim, 0, refp,
+                        f, t, None, 0, 0, arr, b_dim, pl, refp,
                         frame_hdr.gmv[b.ref[i]],
                     )
-                else:
-                    tmp[i] = mc(
-                        f, t, None, 0, 0, bw4, bh4, t.bx, t.by, 0,
-                        tuple(b.mv[i]), refp, b.ref[i], filter2d, prep=True,
-                    )
-            msk = None
+                    return arr
+                return mc(
+                    f, t, None, 0, 0, bw4, bh4, t.bx, t.by, pl,
+                    tuple(b.mv[i]), refp, b.ref[i], filter2d, prep=True,
+                    defer_ok=True,
+                )
+
+            t0 = prep_one(0, 0, bw4 * 4, bh4 * 4)
+            t1 = prep_one(1, 0, bw4 * 4, bh4 * 4)
+            jnt_weight = 0
+            sign = b.mask_sign
             if b.comp_type == COMP_INTER_AVG:
-                M.avg(ypl, dsty, dstx, tmp[0], tmp[1], bw4 * 4, bh4 * 4, bpc)
+                emit(lambda a=t0, c=t1: M.avg(
+                    ypl, dsty, dstx, _resolve(a, f), _resolve(c, f),
+                    bw4 * 4, bh4 * 4, bpc))
             elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
                 jnt_weight = f.jnt_weights[b.ref[0]][b.ref[1]]
-                M.w_avg(ypl, dsty, dstx, tmp[0], tmp[1], bw4 * 4, bh4 * 4, jnt_weight, bpc)
+                emit(lambda a=t0, c=t1, jw=jnt_weight: M.w_avg(
+                    ypl, dsty, dstx, _resolve(a, f), _resolve(c, f),
+                    bw4 * 4, bh4 * 4, jw, bpc))
             elif b.comp_type == COMP_INTER_SEG:
-                sign = b.mask_sign
-                seg_mask = M.w_mask(
-                    ypl, dsty, dstx, tmp[sign], tmp[1 - sign], bw4 * 4, bh4 * 4,
-                    sign, ss_hor if chr_layout_idx else 0,
-                    ss_ver if chr_layout_idx == 2 else 0, bpc,
-                )
-                msk = seg_mask
+                ta, tb = (t1, t0) if sign else (t0, t1)
+                sh_ = ss_hor if chr_layout_idx else 0
+                sv_ = ss_ver if chr_layout_idx == 2 else 0
+                emit(lambda a=ta, c=tb: holder.__setitem__("msk", M.w_mask(
+                    ypl, dsty, dstx, _resolve(a, f), _resolve(c, f),
+                    bw4 * 4, bh4 * 4, sign, sh_, sv_, bpc)))
             elif b.comp_type == COMP_INTER_WEDGE:
-                sign = b.mask_sign
+                ta, tb = (t1, t0) if sign else (t0, t1)
                 wm = WEDGE_MASKS[bs][0][0][b.wedge_idx].reshape(bh4 * 4, bw4 * 4)
-                M.mask(ypl, dsty, dstx, tmp[sign], tmp[1 - sign], bw4 * 4, bh4 * 4, wm, bpc)
+                emit(lambda a=ta, c=tb: M.mask(
+                    ypl, dsty, dstx, _resolve(a, f), _resolve(c, f),
+                    bw4 * 4, bh4 * 4, wm, bpc))
                 if has_chroma:
-                    msk = WEDGE_MASKS[bs][chr_layout_idx][sign][b.wedge_idx].reshape(
-                        (bh4 * 4) >> ss_ver, (bw4 * 4) >> ss_hor
-                    )
+                    holder["msk"] = WEDGE_MASKS[bs][chr_layout_idx][sign][
+                        b.wedge_idx
+                    ].reshape((bh4 * 4) >> ss_ver, (bw4 * 4) >> ss_hor)
             if has_chroma:
                 cw_px = (bw4 * 4) >> ss_hor
                 ch_px = (bh4 * 4) >> ss_ver
                 for pl in range(2):
-                    for i in range(2):
-                        refp = f.refp[b.ref[i]]
-                        if (
-                            b.inter_mode == GLOBALMV_GLOBALMV
-                            and min(cbw4, cbh4) > 1
-                            and f.gmv_warp_allowed[b.ref[i]]
-                        ):
-                            tmp[i] = np.zeros((ch_px, cw_px), dtype=np.int32)
-                            warp_affine(
-                                f, t, None, 0, 0, tmp[i], b_dim, 1 + pl, refp,
-                                frame_hdr.gmv[b.ref[i]],
-                            )
-                        else:
-                            tmp[i] = mc(
-                                f, t, None, 0, 0, bw4, bh4, t.bx, t.by, 1 + pl,
-                                tuple(b.mv[i]), refp, b.ref[i], filter2d, prep=True,
-                            )
+                    c0 = prep_one(0, 1 + pl, cw_px, ch_px)
+                    c1 = prep_one(1, 1 + pl, cw_px, ch_px)
                     uvdst = _plane(f.cur, 1 + pl)
                     if b.comp_type == COMP_INTER_AVG:
-                        M.avg(uvdst, cdsty, cdstx, tmp[0], tmp[1], cw_px, ch_px, bpc)
+                        emit(lambda a=c0, c=c1, d=uvdst: M.avg(
+                            d, cdsty, cdstx, _resolve(a, f), _resolve(c, f),
+                            cw_px, ch_px, bpc))
                     elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
-                        M.w_avg(
-                            uvdst, cdsty, cdstx, tmp[0], tmp[1], cw_px, ch_px,
-                            jnt_weight, bpc,
-                        )
+                        emit(lambda a=c0, c=c1, d=uvdst, jw=jnt_weight: M.w_avg(
+                            d, cdsty, cdstx, _resolve(a, f), _resolve(c, f),
+                            cw_px, ch_px, jw, bpc))
                     else:
-                        sign = b.mask_sign
-                        m2d = msk if msk.shape == (ch_px, cw_px) else msk.reshape(
-                            ch_px, cw_px
-                        )
-                        M.mask(
-                            uvdst, cdsty, cdstx, tmp[sign], tmp[1 - sign],
-                            cw_px, ch_px, m2d, bpc,
-                        )
+                        ca, cb = (c1, c0) if sign else (c0, c1)
+
+                        def _chroma_mask(a=ca, c=cb, d=uvdst):
+                            msk = holder["msk"]
+                            m2d = (
+                                msk
+                                if msk.shape == (ch_px, cw_px)
+                                else msk.reshape(ch_px, cw_px)
+                            )
+                            M.mask(
+                                d, cdsty, cdstx, _resolve(a, f), _resolve(c, f),
+                                cw_px, ch_px, m2d, bpc,
+                            )
+
+                        emit(_chroma_mask)
         else:
             refp = f.refp[b.ref[0]]
             filter2d = b.filter2d
