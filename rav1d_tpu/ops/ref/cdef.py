@@ -167,7 +167,9 @@ def _ulog2_arr(v):
 def adjust_strength_arr(strength, var):
     """Vectorized adjust_strength: strength (N,), var (N,) -> (N,)."""
     v6 = var >> 6
-    i = np.minimum(_ulog2_arr(np.minimum(v6, 4095)), 12)
+    i = np.where(
+        v6 >= 4096, 12, np.minimum(_ulog2_arr(np.minimum(v6, 4095)), 12)
+    )
     adj = (strength * (4 + i) + 8) >> 4
     return np.where(var == 0, 0, adj).astype(np.int64)
 
