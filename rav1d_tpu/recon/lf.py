@@ -209,24 +209,24 @@ def record_lf_inter(f, ts, t, b, bs, is_comp, has_chroma):
             tv = txa[0, 0]
             sv = txa[0, 1]
             for y in range(bh4):
-                ltx = tv[y, 0]
-                x = sv[y, 0]
+                ltx = int(tv[y, 0])
+                x = int(sv[y, 0])
                 while x < bw4:
-                    rtx = tv[y, x]
+                    rtx = int(tv[y, x])
                     cls_v[by + y, bx + x] = min(rtx, ltx) + 1
                     ltx = rtx
-                    x += sv[y, x]
+                    x += int(sv[y, x])
             # inner (tx) horizontal edges
             th = txa[1, 0]
             sh = txa[1, 1]
             for x in range(bw4):
-                ttx = th[0, x]
-                y = sh[0, x]
+                ttx = int(th[0, x])
+                y = int(sh[0, x])
                 while y < bh4:
-                    btx = th[y, x]
+                    btx = int(th[y, x])
                     cls_h[by + y, bx + x] = min(ttx, btx) + 1
                     ttx = btx
-                    y += sh[y, x]
+                    y += int(sh[y, x])
         for y in range(bh4):
             t.l.tx_lpf_y[(by + y) & 31] = txa[0, 0, y, bw4 - 1]
         for x in range(bw4):
