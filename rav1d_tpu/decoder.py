@@ -122,6 +122,9 @@ class Decoder:
         self.event_flags = 0
         self._pending_input = None  # Packet with unconsumed bytes
         self._out = None  # next output Picture
+        self._cache = None  # layered-stream single-layer output cache (lib.rs c.cache)
+        self._tu_flag = False  # NEW_TEMPORAL_UNIT pending (picture.rs flags)
+        self.all_layers = self.settings.all_layers
         self._timebase = (25, 1)
 
     # -- event hooks used by obu.parse_obus --------------------------------
@@ -133,7 +136,47 @@ class Decoder:
         self.event_flags |= 2
 
     def on_new_temporal_unit(self):
-        pass
+        self._tu_flag = True  # obu.rs:2484 frame_flags |= NEW_TEMPORAL_UNIT
+
+    # -- layered-stream output gating (lib.rs output_picture_ready:412,
+    #    output_image:391: with all_layers=0, only the operating point's
+    #    top spatial layer of each temporal unit is output) ---------------
+
+    def _layered(self):
+        return (not self.all_layers) and self.max_spatial_id
+
+    def _queue_out(self, pic):
+        pic.new_tu = self._tu_flag
+        self._tu_flag = False
+        self._out = pic
+
+    def _picture_ready(self, drain):
+        if not self._layered():
+            return self._out is not None
+        if self._out is not None and self._cache is not None:
+            if (
+                self.max_spatial_id == (self._cache.frame_hdr.spatial_id != 0)
+            ) or getattr(self._out, "new_tu", False):
+                return True
+            self._cache = self._out
+            self._out = None
+            return False
+        if self._cache is not None and drain:
+            return True
+        if self._out is not None:
+            self._cache = self._out
+            self._out = None
+        return False
+
+    def _output_image(self):
+        if self._layered():
+            out = self._cache
+            self._cache = self._out
+            self._out = None
+        else:
+            out = self._out
+            self._out = None
+        return out
 
     # -- public API --------------------------------------------------------
 
@@ -151,7 +194,7 @@ class Decoder:
         (gen_picture, src/lib.rs:507)."""
         if self._pending_input is None:
             return
-        while self._out is None and self._pending_input is not None:
+        while not self._picture_ready(False) and self._pending_input is not None:
             buf, ts = self._pending_input
             self._cur_timestamp = ts
             consumed = _obu.parse_obus(self, buf)
@@ -161,11 +204,12 @@ class Decoder:
                 self._pending_input[0] = buf[consumed:]
 
     def get_picture(self) -> Picture:
-        """Return the next decoded picture. Raises EAgain when none is ready."""
+        """Return the next decoded picture. Raises EAgain when none is ready.
+        Synchronous decode = n_fc==1, so each call drains the layer cache
+        (rav1d_get_picture: output_picture_ready(c, c.n_fc == 1))."""
         self._gen_picture()
-        out = self._out
-        if out is not None:
-            self._out = None
+        if self._picture_ready(True):
+            out = self._output_image()
             if self.apply_grain and out.frame_hdr is not None and _has_grain(out):
                 out = self._apply_grain(out)
             return out
@@ -175,6 +219,8 @@ class Decoder:
         """Drop all buffered input/output and reference state (dav1d_flush)."""
         self._pending_input = None
         self._out = None
+        self._cache = None
+        self._tu_flag = False
         self.frame_hdr = None
         self.tiles.clear()
         self.n_tiles = 0
@@ -207,7 +253,7 @@ class Decoder:
         out.mastering_display = self.mastering_display
         out.itut_t35 = self.itut_t35
         self.itut_t35 = None
-        self._out = out
+        self._queue_out(out)
         if slot.frame_hdr.frame_type == FrameType.KEY:
             r = frame_hdr.existing_frame_idx
             self.refs[r].showable = False
@@ -420,4 +466,4 @@ class Decoder:
                 slot.refpoc = tuple(f.refpoc)
 
         if frame_hdr.show_frame or self.output_invisible_frames:
-            self._out = f.sr_cur
+            self._queue_out(f.sr_cur)
