@@ -94,16 +94,30 @@ def decode_frame(ctx, f):
     # slice tile data out of the tile groups (src/decode.rs:4400 init_cdf)
     tile_data = _split_tiles(f, frame_hdr)
 
+    # native syntax pass (C decode_sb/decode_b, native/syntax.c)
+    from ..native import syntax as _nsy
+
+    native = _nsy.enabled()
+
     # tile states
     tile_states = []
     for tr in range(rows):
         for tc in range(cols):
             ts = TileState(f, tr, tc, tile_data[tr * cols + tc])
+            if native:
+                ts.a = _nsy.NpBlockContext(f.bw + 64)
             reset_context(ts.a, keyframe, 0)
             tile_states.append(ts)
 
     t = TaskContext(f)
     f.tile_states = tile_states  # lf tile-boundary fixups read final ctx state
+
+    if native:
+        f._sy_frame, f._sy_out = _nsy.build_frame(f)
+        for i, ts in enumerate(tile_states):
+            ts._sy = _nsy.build_tile(f._sy_frame, ts)
+            ts._sy.tile_idx = i
+        f._sy_task = _nsy.build_task(t)
 
     update_idx = frame_hdr.tiling.update
     out_cdf = None
@@ -124,8 +138,11 @@ def decode_frame(ctx, f):
                 ts = tile_states[tile_row * cols + col]
                 if ts.msac.cnt < -15:
                     raise DecodeError("msac overread")
-                t.pal_sz_uv[1] = [0] * 32
-                decode_tile_sbrow_wrap(t, f, ts, sby)
+                if native:
+                    _decode_tile_sbrow_native(t, f, ts, sby, tile_states)
+                else:
+                    t.pal_sz_uv[1] = [0] * 32
+                    decode_tile_sbrow_wrap(t, f, ts, sby)
             if is_inter_or_switch:
                 _refmvs.save_tmvs(f.rf, 0, f.bw >> 1, by >> 1, by_end)
             sbrow_marks.append((tile_row, sby, len(f.work_items)))
@@ -450,6 +467,63 @@ def _run_itx_jobs(f):
 
 def decode_tile_sbrow_wrap(t, f, ts, sby):
     decode_tile_sbrow(t, f, ts, sby)
+
+
+def _decode_tile_sbrow_native(t, f, ts, sby, tile_states):
+    """Native-core tile-sbrow decode: the Python shell of decode_tile_sbrow
+    (restoration reads, refmvs tile bounds, tx_lpf edge backup) around C
+    sy_decode_sb calls (native/syntax.c)."""
+    from ..native import syntax as _nsy
+    from ..syntax.decode import _read_sb_restoration
+
+    frame_hdr = f.frame_hdr
+    stk = f._sy_task
+    sb_step = f.sb_step
+    t.by = sby << f.sb_shift
+    stk.by = t.by
+
+    if frame_hdr.frame_type.is_inter_or_switch or frame_hdr.allow_intrabc:
+        stk.rt_col_start = ts.col_start
+        stk.rt_col_end = min(ts.col_end, f.rf.iw4)
+        stk.rt_row_start = ts.row_start
+        stk.rt_row_end = min(ts.row_end, f.rf.ih4)
+    reset_context(t.l_np, not frame_hdr.frame_type.is_inter_or_switch, 0)
+    t.pal_sz_uv_np[1][:] = 0
+
+    out = f._sy_out
+    store = f.coef_store
+    rec_start = out.n_rec
+
+    t.bx = ts.col_start
+    while t.bx < ts.col_end:
+        _read_sb_restoration(t, f, ts, sb_step)
+        stk.bx = t.bx
+        stk.by = t.by
+        _nsy.decode_sb(f._sy_frame, ts._sy, stk, out)
+        t.bx += sb_step
+
+    # sync CoefStore cursors with the native output state
+    store.tx_pos = out.tx_pos
+    store.cf_pos = out.cf_pos
+
+    # tile right-edge tx_lpf backup (decode.rs:4540)
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    off = t.by & 16
+    lnp = t.l_np
+    f.tx_lpf_right_edge[0][ts.tile_col, t.by : t.by + sb_step] = lnp.tx_lpf_y[
+        off : off + sb_step
+    ]
+    cstep = sb_step >> ss_ver
+    f.tx_lpf_right_edge[1][
+        ts.tile_col, (t.by >> ss_ver) : (t.by >> ss_ver) + cstep
+    ] = lnp.tx_lpf_uv[(off >> ss_ver) : (off >> ss_ver) + cstep]
+
+    # convert the new records into dense-pass work items
+    f._sy_cur_tile = ts._sy.tile_idx
+    f.work_items.extend(
+        _nsy.records_to_work_items(f, tile_states, rec_start, out.n_rec)
+    )
 
 
 def _backup_ipred_edges(f, tile_states, tile_row, cols, sby):

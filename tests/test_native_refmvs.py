@@ -40,6 +40,10 @@ def crosscheck(monkeypatch):
     import rav1d_tpu.syntax.decode as D
 
     monkeypatch.setattr(D.refmvs, "refmvs_find", checked)
+    # the hook lives on the Python syntax pass; force it on
+    from rav1d_tpu.native import syntax as nsy
+
+    monkeypatch.setattr(nsy, "FORCE_OFF", True)
     return calls
 
 
