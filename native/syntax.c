@@ -502,6 +502,7 @@ typedef struct BlockRec {
     int16_t mv[2][2]; /* [n][x,y] */
     int16_t wm_alpha, wm_beta, wm_gamma, wm_delta;
     int16_t sm_fl, sm_uv_fl;
+    uint16_t tx_split1; /* depth-1 var-tx mask is 16 bits wide */
     uint8_t kind;
     uint8_t bl, bs, bp;
     uint8_t intra, seg_id, skip_mode, skip;
@@ -509,14 +510,13 @@ typedef struct BlockRec {
     int8_t y_angle, uv_angle;
     int8_t cfl_alpha0, cfl_alpha1;
     uint8_t pal_sz0, pal_sz1;
-    uint8_t tx_split0, tx_split1;
+    uint8_t tx_split0;
     uint8_t inter_mode, drl_idx, comp_type, motion_mode, filter2d;
     int8_t ref0, ref1;
     uint8_t interintra_type, interintra_mode, wedge_idx, mask_sign;
     uint8_t wm_type;
     uint8_t tl_4x4_filter;
     uint8_t intra_edge_flags;
-    uint8_t pad[1];
 } BlockRec;
 _Static_assert(sizeof(BlockRec) == 128, "BlockRec layout");
 
@@ -2078,7 +2078,7 @@ static void rec_fill_blk(BlockRec *r, const Blk *b, const SyTask *t) {
     r->pal_sz0 = (uint8_t)b->pal_sz[0];
     r->pal_sz1 = (uint8_t)b->pal_sz[1];
     r->tx_split0 = (uint8_t)b->tx_split0;
-    r->tx_split1 = (uint8_t)b->tx_split1;
+    r->tx_split1 = (uint16_t)b->tx_split1;
     r->inter_mode = (uint8_t)b->inter_mode;
     r->drl_idx = (uint8_t)b->drl_idx;
     r->comp_type = (uint8_t)b->comp_type;
@@ -4116,4 +4116,175 @@ API int32_t sy_decode_sb(const SyFrame *f, SyTile *ts, SyTask *t,
     if (!err)
         err = out->error;
     return err;
+}
+
+/* ---------------------------------------------------------------------- */
+/* temporal MV save/load (syntax/refmvs.py save_tmvs/load_tmvs;
+ * src/refmvs.rs save_tmvs_c:1481 / load_tmvs_c:1379).
+ * TB records are packed 5 bytes: {int16 mv[2]; int8 ref}.                 */
+
+typedef struct TmvsCall {
+    const uint8_t *r;     /* RB grid */
+    int32_t r_stride;
+    uint8_t *rp;          /* this frame's temporal grid (TB) */
+    int32_t rp_stride;
+    uint8_t *rp_proj;     /* projection target (TB) */
+    int32_t proj_stride;
+    const uint8_t *rp_ref[7]; /* refs' temporal grids (TB), NULL if unusable */
+    int32_t rp_ref_stride[7];
+    int32_t mfmv_ref[3];
+    int32_t mfmv_ref2cur[3];
+    int32_t mfmv_ref2ref[3][7];
+    int32_t n_mfmvs;
+    int32_t mfmv_sign[7];
+    int32_t iw8, ih8;
+    int32_t col_start8, col_end8, row_start8, row_end8;
+    const uint8_t *bdims;
+} TmvsCall;
+
+static const int32_t tmv_div_mult[32] = {
+    0, 16384, 8192, 5461, 4096, 3276, 2730, 2340, 2048, 1820, 1638, 1489,
+    1365, 1260, 1170, 1092, 1024, 963, 910, 862, 819, 780, 744, 712, 682,
+    655, 630, 606, 585, 564, 546, 528,
+};
+
+static inline void tmv_projection(int mvx, int mvy, int num, int den,
+                                  int *ox, int *oy) {
+    int64_t frac = (int64_t)num * tmv_div_mult[den];
+    int64_t x = mvx * frac;
+    int64_t y = mvy * frac;
+    int mx = (1 << 14) - 1;
+    *ox = iclip((int)((x + 8192 + (x >> 63)) >> 14), -mx, mx);
+    *oy = iclip((int)((y + 8192 + (y >> 63)) >> 14), -mx, mx);
+}
+
+API void sy_save_tmvs(const TmvsCall *p) {
+    int row_end8 = imin(p->row_end8, p->ih8);
+    int col_end8 = imin(p->col_end8, p->iw8);
+    for (int y = p->row_start8; y < row_end8; y++) {
+        const uint8_t *row =
+            p->r + ((size_t)(y * 2 + 1) * p->r_stride) * 12;
+        int x = p->col_start8;
+        while (x < col_end8) {
+            const uint8_t *cand = row + (size_t)(x * 2 + 1) * 12;
+            const int16_t *cmv = (const int16_t *)cand;
+            int bs = cand[10];
+            int bw8 = (p->bdims[bs * 4 + 0] + 1) >> 1;
+            int bmx = 0, bmy = 0, bref = 0;
+            for (int i = 1; i >= 0; i--) {
+                int rr = (int8_t)cand[8 + i];
+                int mx = cmv[i * 2 + 0], my = cmv[i * 2 + 1];
+                int amx = mx < 0 ? -mx : mx, amy = my < 0 ? -my : my;
+                if (rr > 0 && p->mfmv_sign[rr - 1] && (amy | amx) < 4096) {
+                    bmx = mx;
+                    bmy = my;
+                    bref = rr;
+                    break;
+                }
+            }
+            uint8_t *dst = p->rp + ((size_t)y * p->rp_stride + x) * 5;
+            /* python writes the full bw8 span (numpy clamps at the array
+             * width, not col_end8) */
+            for (int k = 0; k < bw8 && x + k < p->rp_stride; k++) {
+                int16_t *dmv = (int16_t *)(dst + (size_t)k * 5);
+                dmv[0] = (int16_t)bmx;
+                dmv[1] = (int16_t)bmy;
+                dst[(size_t)k * 5 + 4] = (uint8_t)(int8_t)bref;
+            }
+            x += bw8;
+        }
+    }
+}
+
+API void sy_load_tmvs(const TmvsCall *p) {
+    int row_end8 = imin(p->row_end8, p->ih8);
+    int col_start8i = imax(p->col_start8 - 8, 0);
+    int col_end8i = imin(p->col_end8 + 8, p->iw8);
+    /* invalidate the target region */
+    for (int y = p->row_start8; y < row_end8; y++) {
+        uint8_t *row = p->rp_proj + (size_t)y * p->proj_stride * 5;
+        for (int x = p->col_start8; x < p->col_end8; x++) {
+            int16_t *mv = (int16_t *)(row + (size_t)x * 5);
+            mv[0] = INVALID_MV_X;
+            mv[1] = INVALID_MV_Y;
+        }
+    }
+    for (int n = 0; n < p->n_mfmvs; n++) {
+        int ref2cur = p->mfmv_ref2cur[n];
+        if (ref2cur == (int32_t)0x80000000)
+            continue;
+        int refidx = p->mfmv_ref[n];
+        int ref_sign = refidx - 4;
+        const uint8_t *rarr = p->rp_ref[refidx];
+        if (!rarr)
+            continue;
+        int ref_stride = p->rp_ref_stride[refidx];
+        const int32_t *ref2ref_n = p->mfmv_ref2ref[n];
+        for (int y = p->row_start8; y < row_end8; y++) {
+            int y_sb_align = y & ~7;
+            int y_proj_start = imax(y_sb_align, p->row_start8);
+            int y_proj_end = imin(y_sb_align + 8, row_end8);
+            const uint8_t *rrow = rarr + (size_t)y * ref_stride * 5;
+            int x = col_start8i;
+            while (x < col_end8i) {
+                const uint8_t *tb = rrow + (size_t)x * 5;
+                int b_ref = (int8_t)tb[4];
+                if (b_ref == 0) {
+                    x++;
+                    continue;
+                }
+                int ref2ref = ref2ref_n[b_ref - 1];
+                if (ref2ref == 0) {
+                    x++;
+                    continue;
+                }
+                int b_mvx = ((const int16_t *)tb)[0];
+                int b_mvy = ((const int16_t *)tb)[1];
+                int ox, oy;
+                tmv_projection(b_mvx, b_mvy, ref2cur, ref2ref, &ox, &oy);
+                int aox = ox < 0 ? -ox : ox, aoy = oy < 0 ? -oy : oy;
+                int pos_x =
+                    x + ((int64_t)(ox ^ ref_sign) < 0 ? -(aox >> 6)
+                                                      : (aox >> 6));
+                int pos_y =
+                    y + ((int64_t)(oy ^ ref_sign) < 0 ? -(aoy >> 6)
+                                                      : (aoy >> 6));
+                if (pos_y >= y_proj_start && pos_y < y_proj_end) {
+                    for (;;) {
+                        int x_sb_align = x & ~7;
+                        if (pos_x >= imax(x_sb_align - 8, p->col_start8) &&
+                            pos_x < imin(x_sb_align + 16, p->col_end8)) {
+                            uint8_t *dst =
+                                p->rp_proj +
+                                ((size_t)pos_y * p->proj_stride + pos_x) * 5;
+                            int16_t *dmv = (int16_t *)dst;
+                            dmv[0] = (int16_t)b_mvx;
+                            dmv[1] = (int16_t)b_mvy;
+                            dst[4] = (uint8_t)(int8_t)ref2ref;
+                        }
+                        x++;
+                        if (x >= col_end8i)
+                            break;
+                        const uint8_t *tb2 = rrow + (size_t)x * 5;
+                        if ((int8_t)tb2[4] != b_ref ||
+                            ((const int16_t *)tb2)[0] != b_mvx ||
+                            ((const int16_t *)tb2)[1] != b_mvy)
+                            break;
+                        pos_x++;
+                    }
+                } else {
+                    for (;;) {
+                        x++;
+                        if (x >= col_end8i)
+                            break;
+                        const uint8_t *tb2 = rrow + (size_t)x * 5;
+                        if ((int8_t)tb2[4] != b_ref ||
+                            ((const int16_t *)tb2)[0] != b_mvx ||
+                            ((const int16_t *)tb2)[1] != b_mvy)
+                            break;
+                    }
+                }
+            }
+        }
+    }
 }

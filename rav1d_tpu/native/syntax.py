@@ -183,6 +183,22 @@ class SyTaskC(ctypes.Structure):
     ]
 
 
+class TmvsCallC(ctypes.Structure):
+    _fields_ = [
+        ("r", P), ("r_stride", I32),
+        ("rp", P), ("rp_stride", I32),
+        ("rp_proj", P), ("proj_stride", I32),
+        ("rp_ref", P * 7), ("rp_ref_stride", I32 * 7),
+        ("mfmv_ref", I32 * 3), ("mfmv_ref2cur", I32 * 3),
+        ("mfmv_ref2ref", (I32 * 7) * 3), ("n_mfmvs", I32),
+        ("mfmv_sign", I32 * 7),
+        ("iw8", I32), ("ih8", I32),
+        ("col_start8", I32), ("col_end8", I32),
+        ("row_start8", I32), ("row_end8", I32),
+        ("bdims", P),
+    ]
+
+
 class SyOutC(ctypes.Structure):
     _fields_ = [
         ("cf", P), ("eob", P), ("txtp", P), ("txw", P), ("txh", P),
@@ -202,10 +218,11 @@ BLOCK_REC_DTYPE = np.dtype({
         "cf_pos", "tx_pos", "afilter_off", "pal_off", "palidx_off",
         "wm_mat", "matrix", "dbg_rng", "bx", "by", "mv",
         "wm_alpha", "wm_beta", "wm_gamma", "wm_delta", "sm_fl", "sm_uv_fl",
+        "tx_split1",
         "kind", "bl", "bs", "bp", "intra", "seg_id", "skip_mode", "skip",
         "y_mode", "uv_mode", "tx", "uvtx", "max_ytx",
         "y_angle", "uv_angle", "cfl_alpha0", "cfl_alpha1",
-        "pal_sz0", "pal_sz1", "tx_split0", "tx_split1",
+        "pal_sz0", "pal_sz1", "tx_split0",
         "inter_mode", "drl_idx", "comp_type", "motion_mode", "filter2d",
         "ref0", "ref1",
         "interintra_type", "interintra_mode", "wedge_idx", "mask_sign",
@@ -216,11 +233,12 @@ BLOCK_REC_DTYPE = np.dtype({
         (np.int32, (6,)), (np.int32, (4,)), np.uint32, np.int16, np.int16,
         (np.int16, (2, 2)),
         np.int16, np.int16, np.int16, np.int16, np.int16, np.int16,
+        np.uint16,
         np.uint8, np.uint8, np.uint8, np.uint8, np.uint8, np.uint8,
         np.uint8, np.uint8,
         np.uint8, np.uint8, np.uint8, np.uint8, np.uint8,
         np.int8, np.int8, np.int8, np.int8,
-        np.uint8, np.uint8, np.uint8, np.uint8,
+        np.uint8, np.uint8, np.uint8,
         np.uint8, np.uint8, np.uint8, np.uint8, np.uint8,
         np.int8, np.int8,
         np.uint8, np.uint8, np.uint8, np.uint8,
@@ -230,14 +248,15 @@ BLOCK_REC_DTYPE = np.dtype({
         0, 8, 12, 16, 20,
         24, 48, 64, 68, 70, 72,
         80, 82, 84, 86, 88, 90,
-        92, 93, 94, 95, 96, 97, 98, 99,
-        100, 101, 102, 103, 104,
-        105, 106, 107, 108,
-        109, 110, 111, 112,
-        113, 114, 115, 116, 117,
-        118, 119,
-        120, 121, 122, 123,
-        124, 125, 126,
+        92,
+        94, 95, 96, 97, 98, 99, 100, 101,
+        102, 103, 104, 105, 106,
+        107, 108, 109, 110,
+        111, 112, 113,
+        114, 115, 116, 117, 118,
+        119, 120,
+        121, 122, 123, 124,
+        125, 126, 127,
     ],
     "itemsize": 128,
 })
@@ -264,6 +283,10 @@ def _load():
         ctypes.POINTER(SyFrameC), ctypes.POINTER(SyTileC),
     ]
     lib.sy_tile_init_tables.restype = None
+    lib.sy_save_tmvs.argtypes = [ctypes.POINTER(TmvsCallC)]
+    lib.sy_save_tmvs.restype = None
+    lib.sy_load_tmvs.argtypes = [ctypes.POINTER(TmvsCallC)]
+    lib.sy_load_tmvs.restype = None
     return lib
 
 
@@ -694,3 +717,44 @@ def records_to_work_items(f, tile_states, start: int, end: int):
 
         items.append(wi)
     return items
+
+
+def _tmvs_call(rf, col_start8, col_end8, row_start8, row_end8) -> TmvsCallC:
+    from ..syntax.refmvs import _bdims_np
+
+    p = TmvsCallC()
+    p.r = rf.r.ctypes.data
+    p.r_stride = rf.r_stride
+    p.rp = rf.rp.ctypes.data
+    p.rp_stride = rf.rp.shape[1]
+    p.rp_proj = rf.rp_proj.ctypes.data
+    p.proj_stride = rf.rp_stride
+    for i in range(7):
+        ref = rf.rp_ref[i]
+        p.rp_ref[i] = 0 if ref is None else ref.ctypes.data
+        p.rp_ref_stride[i] = 0 if ref is None else ref.shape[1]
+        p.mfmv_sign[i] = rf.mfmv_sign[i]
+    for n in range(3):
+        p.mfmv_ref[n] = rf.mfmv_ref[n]
+        p.mfmv_ref2cur[n] = rf.mfmv_ref2cur[n]
+        for m in range(7):
+            p.mfmv_ref2ref[n][m] = rf.mfmv_ref2ref[n][m]
+    p.n_mfmvs = rf.n_mfmvs
+    p.iw8 = rf.iw8
+    p.ih8 = rf.ih8
+    p.col_start8 = col_start8
+    p.col_end8 = col_end8
+    p.row_start8 = row_start8
+    p.row_end8 = row_end8
+    p.bdims = _bdims_np().ctypes.data
+    return p
+
+
+def save_tmvs(rf, col_start8, col_end8, row_start8, row_end8):
+    p = _tmvs_call(rf, col_start8, col_end8, row_start8, row_end8)
+    LIB.sy_save_tmvs(ctypes.byref(p))
+
+
+def load_tmvs(rf, col_start8, col_end8, row_start8, row_end8):
+    p = _tmvs_call(rf, col_start8, col_end8, row_start8, row_end8)
+    LIB.sy_load_tmvs(ctypes.byref(p))

@@ -159,63 +159,56 @@ def _selfguided(tmp, w, h, n, s, bpc):
     A = sumsq
     B = ssum
     step = 2 if n == 25 else 1
-    # rows processed: j from -1 to h (inclusive of h boundary handling)
-    for j in range(-1, h + 1, step):
-        yy = 2 + j  # row in sumsq coords (cursor base 2*stride)
-        for i in range(-1, w + 1):
-            xx = 3 + i
-            a = (A[yy, xx] + ((1 << (2 * bdm8)) >> 1)) >> (2 * bdm8)
-            b = (B[yy, xx] + ((1 << bdm8) >> 1)) >> bdm8
-            p = max(a * n - b * b, 0)
-            z = (p * s + (1 << 19)) >> 20
-            x = int(SGR_X_BY_X[min(z, 255)])
-            A[yy, xx] = (x * B[yy, xx] * sgr_one_by_x + (1 << 11)) >> 12
-            B[yy, xx] = x
+    # AB pass, vectorized: rows j=-1..h step, cols i=-1..w (xx = 2..w+3)
+    ys = np.arange(-1, h + 1, step) + 2
+    As = A[ys, 2 : w + 4]
+    Bs = B[ys, 2 : w + 4]
+    a = (As + ((1 << (2 * bdm8)) >> 1)) >> (2 * bdm8)
+    b = (Bs + ((1 << bdm8) >> 1)) >> bdm8
+    p = np.maximum(a * n - b * b, 0)
+    z = (p * s + (1 << 19)) >> 20
+    x = SGR_X_BY_X[np.minimum(z, 255)].astype(np.int64)
+    A[ys[:, None], np.arange(2, w + 4)[None, :]] = (
+        x * Bs * sgr_one_by_x + (1 << 11)
+    ) >> 12
+    B[ys[:, None], np.arange(2, w + 4)[None, :]] = x
 
-    dst = np.zeros((h, w), dtype=np.int64)
     src = tmp  # pixel source at (3 + j, 3 + i)
+    dst = np.zeros((h, w), dtype=np.int64)
+    cs = slice(3, w + 3)
+    cl = slice(2, w + 2)
+    cr = slice(4, w + 4)
 
-    def six(M, yy, xx):
-        return (M[yy - 1, xx] + M[yy + 1, xx]) * 6 + (
-            M[yy - 1, xx - 1] + M[yy + 1, xx - 1] + M[yy - 1, xx + 1] + M[yy + 1, xx + 1]
+    def six_rows(M, yy):
+        return (M[yy - 1, cs] + M[yy + 1, cs]) * 6 + (
+            M[yy - 1, cl] + M[yy + 1, cl] + M[yy - 1, cr] + M[yy + 1, cr]
         ) * 5
 
-    def eight(M, yy, xx):
-        return (M[yy, xx] + M[yy, xx - 1] + M[yy, xx + 1] + M[yy - 1, xx] + M[yy + 1, xx]) * 4 + (
-            M[yy - 1, xx - 1] + M[yy + 1, xx - 1] + M[yy - 1, xx + 1] + M[yy + 1, xx + 1]
+    def eight_rows(M, yy):
+        return (
+            M[yy, cs] + M[yy, cl] + M[yy, cr] + M[yy - 1, cs] + M[yy + 1, cs]
+        ) * 4 + (
+            M[yy - 1, cl] + M[yy + 1, cl] + M[yy - 1, cr] + M[yy + 1, cr]
         ) * 3
 
     if n == 25:
-        j = 0
-        while j < h - 1:
-            yy = 2 + j
-            for i in range(w):
-                xx = 3 + i
-                a = six(B, yy, xx)
-                b = six(A, yy, xx)
-                dst[j, i] = (b - a * int(src[3 + j, 3 + i]) + (1 << 8)) >> 9
-            yy += 1
-            for i in range(w):
-                xx = 3 + i
-                a = B[yy, xx] * 6 + (B[yy, xx - 1] + B[yy, xx + 1]) * 5
-                b = A[yy, xx] * 6 + (A[yy, xx - 1] + A[yy, xx + 1]) * 5
-                dst[j + 1, i] = (b - a * int(src[4 + j, 3 + i]) + (1 << 7)) >> 8
-            j += 2
-        if j + 1 == h:
-            yy = 2 + j
-            for i in range(w):
-                xx = 3 + i
-                a = six(B, yy, xx)
-                b = six(A, yy, xx)
-                dst[j, i] = (b - a * int(src[3 + j, 3 + i]) + (1 << 8)) >> 9
+        je = np.arange(0, h, 2)
+        yy = je + 2
+        aa = six_rows(B, yy)
+        bb = six_rows(A, yy)
+        dst[je] = (bb - aa * src[je + 3, cs] + (1 << 8)) >> 9
+        jo = np.arange(1, h, 2)
+        if jo.size:
+            yy = jo + 2
+            aa = B[yy, cs] * 6 + (B[yy, cl] + B[yy, cr]) * 5
+            bb = A[yy, cs] * 6 + (A[yy, cl] + A[yy, cr]) * 5
+            dst[jo] = (bb - aa * src[jo + 3, cs] + (1 << 7)) >> 8
     else:
-        for j in range(h):
-            yy = 2 + j
-            for i in range(w):
-                xx = 3 + i
-                a = eight(B, yy, xx)
-                b = eight(A, yy, xx)
-                dst[j, i] = (b - a * int(src[3 + j, 3 + i]) + (1 << 8)) >> 9
+        jj = np.arange(h)
+        yy = jj + 2
+        aa = eight_rows(B, yy)
+        bb = eight_rows(A, yy)
+        dst[jj] = (bb - aa * src[jj + 3, cs] + (1 << 8)) >> 9
     return dst
 
 

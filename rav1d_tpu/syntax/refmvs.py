@@ -167,6 +167,10 @@ def splat_mv(rf, by4, bx4, bw4, bh4, mv0, mv1, ref0, ref1, bs, mf):
 
 def save_tmvs(rf, col_start8, col_end8, row_start8, row_end8):
     """Copy 4x4 spatial MVs into 8x8 temporal blocks (refmvs.rs save_tmvs_c:1481)."""
+    from ..native import syntax as _nsy
+
+    if _nsy.enabled():
+        return _nsy.save_tmvs(rf, col_start8, col_end8, row_start8, row_end8)
     row_end8 = min(row_end8, rf.ih8)
     col_end8 = min(col_end8, rf.iw8)
     ref_sign = rf.mfmv_sign
@@ -194,6 +198,10 @@ def save_tmvs(rf, col_start8, col_end8, row_start8, row_end8):
 
 def load_tmvs(rf, frame_hdr, col_start8, col_end8, row_start8, row_end8):
     """Project temporal MVs into rp_proj (refmvs.rs load_tmvs_c:1379)."""
+    from ..native import syntax as _nsy
+
+    if _nsy.enabled():
+        return _nsy.load_tmvs(rf, col_start8, col_end8, row_start8, row_end8)
     row_end8 = min(row_end8, rf.ih8)
     col_start8i = max(col_start8 - 8, 0)
     col_end8i = min(col_end8 + 8, rf.iw8)

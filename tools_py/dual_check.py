@@ -39,6 +39,8 @@ def dump(vec, limit, out_path):
         rows.append(["EOB", f.frame_hdr.frame_offset, store.tx_pos,
                      int(store.cf_pos),
                      [int(v) for v in store.eob[: store.tx_pos]][:200000]])
+        rows.append(["TXTP", f.frame_hdr.frame_offset,
+                     [int(v) for v in store.txtp[: store.tx_pos]][:200000]])
         import hashlib
 
         def h(arr):
@@ -47,10 +49,15 @@ def dump(vec, limit, out_path):
         import numpy as np
 
         snap = hashlib.md5()
-        for wi in f.work_items:
-            for v in (wi.pal, wi.pal_idx):
-                if v is not None:
-                    snap.update(np.asarray(v).tobytes())
+        for k, wi in enumerate(f.work_items):
+            pre = snap.hexdigest()
+            if wi.pal is not None:
+                snap.update(np.asarray(wi.pal).tobytes())
+            if wi.pal_idx is not None:
+                from rav1d_tpu.tables.block_tables import BLOCK_DIMENSIONS
+                bd = BLOCK_DIMENSIONS[wi.bs]
+                snap.update(
+                    np.asarray(wi.pal_idx)[: 2 * bd[0] * bd[1] * 16].tobytes())
             if wi.a_filter is not None:
                 for d in range(2):
                     snap.update(np.asarray(wi.a_filter[d], np.uint8).tobytes())
@@ -60,6 +67,11 @@ def dump(vec, limit, out_path):
                     json.dumps([int(wi.warpmv.type), list(wi.warpmv.matrix),
                                 wi.warpmv.alpha, wi.warpmv.beta,
                                 wi.warpmv.gamma, wi.warpmv.delta]).encode())
+            if snap.hexdigest() != pre:
+                rows.append(["SNAP", k, wi.bx, wi.by, snap.hexdigest()[:10],
+                             None if wi.a_filter is None else
+                             [list(map(int, wi.a_filter[0])),
+                              list(map(int, wi.l_filter[0]))]])
         rows.append(["STATE", f.frame_hdr.frame_offset,
                      h(store.cf[: store.cf_pos]),
                      [h(c) for c in f.lf_cls], h(f.lf_level),
@@ -69,16 +81,19 @@ def dump(vec, limit, out_path):
     fr.run_dense_pass = hook
     dec = Decoder(Settings(apply_grain=False))
     n = 0
-    for pkt in IvfDemuxer(vec):
-        dec.send_data(pkt.data, pkt.timestamp)
-        while True:
-            try:
-                dec.get_picture()
-                n += 1
-            except EAgain:
+    try:
+        for pkt in IvfDemuxer(vec):
+            dec.send_data(pkt.data, pkt.timestamp)
+            while True:
+                try:
+                    dec.get_picture()
+                    n += 1
+                except EAgain:
+                    break
+            if n >= limit:
                 break
-        if n >= limit:
-            break
+    except Exception as e:  # keep the partial dump for diffing
+        rows.append(["EXC", repr(e)])
     with open(out_path, "w") as fo:
         for r in rows:
             fo.write(json.dumps(r) + "\n")
