@@ -528,6 +528,9 @@ typedef struct SyOut {
     int16_t *txw;
     int16_t *txh;
     int64_t *cf_off;
+    uint8_t *txpl;   /* per-txblock dest plane */
+    int32_t *txx;    /* per-txblock dest pixel coords */
+    int32_t *txy;
     int64_t cf_pos;
     int32_t tx_pos;
     int32_t pad0;
@@ -1455,13 +1458,17 @@ typedef struct Blk {
 /* ---------------------------------------------------------------------- */
 /* decode_coefs bridge (recon/coefs.py decode_coefs native wrapper)        */
 
-static void store_push(SyOut *out, int eob, int txtp, int sz, int w, int h) {
+static void store_push(SyOut *out, int eob, int txtp, int sz, int w, int h,
+                       int pl, int x, int y) {
     int i = out->tx_pos;
     out->eob[i] = eob;
     out->txtp[i] = txtp;
     out->txw[i] = (int16_t)w;
     out->txh[i] = (int16_t)h;
     out->cf_off[i] = out->cf_pos;
+    out->txpl[i] = (uint8_t)pl;
+    out->txx[i] = x;
+    out->txy[i] = y;
     out->tx_pos = i + 1;
     out->cf_pos += sz;
 }
@@ -1469,7 +1476,8 @@ static void store_push(SyOut *out, int eob, int txtp, int sz, int w, int h) {
 static int decode_coefs_c(const SyFrame *f, SyTile *ts, SyOut *out,
                           uint8_t *a, int a_off, uint8_t *l, int l_off,
                           int tx, int bs, const Blk *b, int intra, int plane,
-                          int ytxtp, int *eob_out, int *txtp_out) {
+                          int ytxtp, int dst_x, int dst_y, int *eob_out,
+                          int *txtp_out) {
     CoefCallParams p;
     const TxfmInfo *td = &t_dims[tx];
     int chroma = plane ? 1 : 0;
@@ -1552,7 +1560,8 @@ static int decode_coefs_c(const SyFrame *f, SyTile *ts, SyOut *out,
     dav1d_decode_coefs(ts->msac, &cdf->coef, &p);
     *eob_out = p.eob;
     *txtp_out = p.txtp;
-    store_push(out, p.eob, p.txtp, sz, td->w * 4, td->h * 4);
+    store_push(out, p.eob, p.txtp, sz, td->w * 4, td->h * 4, plane, dst_x,
+               dst_y);
     return p.cf_ctx;
 }
 
@@ -1591,8 +1600,8 @@ static void intra_read_coefs(const SyFrame *f, SyTile *ts, SyTask *t,
                         int eob, txtp;
                         int cf_ctx = decode_coefs_c(
                             f, ts, out, ts->a.lcoef, t->bx, t->l.lcoef,
-                            by4 + y, b->tx, bs, b, 1, 0, DCT_DCT, &eob,
-                            &txtp);
+                            by4 + y, b->tx, bs, b, 1, 0, DCT_DCT,
+                            4 * t->bx, 4 * t->by, &eob, &txtp);
                         int hn = imin(td->h, f->bh - t->by);
                         for (int i = 0; i < hn; i++)
                             t->l.lcoef[(by4 + y + i) & 31] = (uint8_t)cf_ctx;
@@ -1630,7 +1639,8 @@ static void intra_read_coefs(const SyFrame *f, SyTile *ts, SyTask *t,
                                 int cf_ctx = decode_coefs_c(
                                     f, ts, out, ac, t->bx >> ss_hor, lc,
                                     cby4 + cy, b->uvtx, bs, b, 1, 1 + pl,
-                                    DCT_DCT, &eob, &txtp);
+                                    DCT_DCT, 4 * (t->bx >> ss_hor),
+                                    4 * (t->by >> ss_ver), &eob, &txtp);
                                 int hn = imin(uvtd->h,
                                               (f->bh - t->by + ss_ver) >>
                                                   ss_ver);
@@ -1699,7 +1709,8 @@ static void read_coef_tree(const SyFrame *f, SyTile *ts, SyTask *t,
         int eob, txtp;
         int cf_ctx = decode_coefs_c(f, ts, out, ts->a.lcoef, t->bx,
                                     t->l.lcoef, by4, ytx, bs, b, 0, 0,
-                                    DCT_DCT, &eob, &txtp);
+                                    DCT_DCT, 4 * t->bx, 4 * t->by, &eob,
+                                    &txtp);
         int hn = imin(txh, f->bh - t->by);
         for (int i = 0; i < hn; i++)
             t->l.lcoef[(by4 + i) & 31] = (uint8_t)cf_ctx;
@@ -1793,7 +1804,8 @@ static void inter_read_coefs(const SyFrame *f, SyTile *ts, SyTask *t,
                             int cf_ctx = decode_coefs_c(
                                 f, ts, out, ac, t->bx >> ss_hor, lc,
                                 cby4 + cy, b->uvtx, bs, b, 0, 1 + pl,
-                                ytxtp, &eob, &txtp);
+                                ytxtp, 4 * (t->bx >> ss_hor),
+                                4 * (t->by >> ss_ver), &eob, &txtp);
                             int hn = imin(uvtd->h,
                                           (f->bh - t->by + ss_ver) >> ss_ver);
                             for (int i = 0; i < hn; i++)

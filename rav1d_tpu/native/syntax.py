@@ -202,7 +202,7 @@ class TmvsCallC(ctypes.Structure):
 class SyOutC(ctypes.Structure):
     _fields_ = [
         ("cf", P), ("eob", P), ("txtp", P), ("txw", P), ("txh", P),
-        ("cf_off", P),
+        ("cf_off", P), ("txpl", P), ("txx", P), ("txy", P),
         ("cf_pos", I64), ("tx_pos", I32), ("pad0", I32),
         ("rec", P), ("n_rec", I32), ("rec_cap", I32),
         ("filt_arena", P), ("filt_pos", I32), ("filt_cap", I32),
@@ -517,6 +517,9 @@ def build_frame(f) -> tuple[SyFrameC, SyOutC]:
     out.txw = store.txw.ctypes.data
     out.txh = store.txh.ctypes.data
     out.cf_off = store.cf_off.ctypes.data
+    out.txpl = store.txpl.ctypes.data
+    out.txx = store.txx.ctypes.data
+    out.txy = store.txy.ctypes.data
     out.cf_pos = store.cf_pos
     out.tx_pos = store.tx_pos
     n_blocks = f.bw * f.bh + 1024

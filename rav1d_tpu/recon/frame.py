@@ -262,7 +262,11 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
             and wi.b.interintra_type == INTER_INTRA_NONE
         )
 
-    # phase 1: batchable inter blocks (prediction + deferred residuals)
+    # phase 1: batchable inter blocks (prediction + deferred residuals).
+    # With the native syntax pass, simple-translation single-ref blocks are
+    # emitted wholesale from the flat record/store arrays (no per-block
+    # Python); complex blocks (compound, OBMC, warp, sub8x8 chroma, scaled
+    # refs, interintra) still replay per block.
     f.itx_jobs = []
     f.mc_jobs = []
     f.warp_jobs = []
@@ -270,15 +274,23 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
     f.prep_jobs = []
     f.comp_combines = []
     f.prep_results = None
-    for wi in items:
-        if not batchable(wi):
+    fast = None
+    recs = getattr(f, "_sy_rec", None)
+    if recs is not None and getattr(f, "_sy_out", None) is not None and \
+            f._sy_out.n_rec == len(items):
+        fast = _fast_block_mask(f, recs[: len(items)], is_key)
+    for i, wi in enumerate(items):
+        if not batchable(wi) or (fast is not None and fast[i]):
             continue
         t.bx, t.by = wi.bx, wi.by
         store.seek(wi.tx_pos, wi.cf_pos)
         if wi.warpmv is not None:
             t.warpmv = wi.warpmv
         t.tl_4x4_filter = wi.tl_4x4_filter
-        recon_b_inter(t, f, wi.ts, wi.bs, wi.b, phase="apply", item=wi)
+        recon_b_inter(t, f, wi.ts, wi.bs, wi.b, phase="apply", item=wi,
+                      skip_residuals=fast is not None)
+    if fast is not None and fast.any():
+        _emit_fast_mc(f, recs[: len(items)], fast)
     _run_mc_jobs(f)
     f.mc_jobs = None
     _run_warp_jobs(f)
@@ -290,6 +302,8 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
     f.comp_combines = None
     _run_obmc_blends(f)
     f.obmc_blends = None
+    if fast is not None:
+        _emit_batch_itx_from_store(f, items, batchable)
     _run_itx_jobs(f)
     f.itx_jobs = None
 
@@ -576,3 +590,149 @@ def _split_tiles(f, frame_hdr):
         raise DecodeError("missing tiles")
     f.tiles = []
     return out
+
+
+def _fast_block_mask(f, r, is_key):
+    """Vector predicate over the flat block records selecting simple
+    single-ref translation blocks whose prediction + residuals can be
+    emitted wholesale (no per-block Python)."""
+    from ..tables.block_tables import BLOCK_DIMENSIONS
+    from ..syntax.levels import GLOBALMV, FILTER_2D_BILINEAR
+
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    bd = np.asarray(BLOCK_DIMENSIONS, dtype=np.int32)
+    bw4 = bd[r["bs"], 0]
+    bh4 = bd[r["bs"], 1]
+    gwa = np.asarray(
+        [1 if v else 0 for v in f.gmv_warp_allowed] + [0], dtype=np.int32
+    )
+    ref0 = r["ref0"].astype(np.int32)
+    svc = np.asarray([f.svc[i][0]["scale"] for i in range(7)] + [0],
+                     dtype=np.int64)
+    mask = (
+        (r["kind"] == 1)
+        & (not is_key)
+        & (r["interintra_type"] == 0)
+        & (r["comp_type"] == 0)
+        & (r["motion_mode"] == 0)
+        & ~((r["inter_mode"] == GLOBALMV) & (gwa[ref0] != 0))
+        & (svc[ref0] == 0)
+        & (r["filter2d"] != FILTER_2D_BILINEAR)
+        & (bw4 > ss_hor)
+        & (bh4 > ss_ver)
+    )
+    return mask
+
+
+def _emit_fast_mc(f, r, fast):
+    """Append batched-executor mc jobs for all fast blocks directly from
+    the record arrays (the vectorized form of recon_b_inter's simple
+    translation path, recon.rs mc:2025 unscaled branch)."""
+    from ..tables.block_tables import BLOCK_DIMENSIONS
+    from ..ops.ref.mc import compute_8tap_batch
+
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    bd = np.asarray(BLOCK_DIMENSIONS, dtype=np.int32)
+    idx = np.nonzero(fast)[0]
+    bs = r["bs"][idx]
+    bw4 = bd[bs, 0]
+    bh4 = bd[bs, 1]
+    bx = r["bx"][idx].astype(np.int32)
+    by = r["by"][idx].astype(np.int32)
+    mv = r["mv"][idx].astype(np.int32)  # (K, 2, 2) [n][x,y]
+    mvx, mvy = mv[:, 0, 0], mv[:, 0, 1]
+    ref0 = r["ref0"][idx].astype(np.int32)
+    f2d = r["filter2d"][idx].astype(np.int32)
+    bpc = f.cur.bpc
+
+    planes = [
+        # (pl, ss_h, ss_v)
+        (0, 0, 0),
+    ]
+    if layout != PixelLayout.I400:
+        planes += [(1, ss_hor, ss_ver), (2, ss_hor, ss_ver)]
+
+    for pl, sh, sv in planes:
+        h_mul, v_mul = 4 >> sh, 4 >> sv
+        mx = mvx & (15 >> (0 if sh else 1))
+        my = mvy & (15 >> (0 if sv else 1))
+        dx = bx * h_mul + (mvx >> (3 + sh))
+        dy = by * v_mul + (mvy >> (3 + sv))
+        fmx = mx << (0 if sh else 1)
+        fmy = my << (0 if sv else 1)
+        w_px = bw4 * h_mul
+        h_px = bh4 * v_mul
+        vis_w = (f.cur.w + sh) >> sh
+        vis_h = (f.cur.h + sv) >> sv
+        key = (
+            (ref0.astype(np.int64) * 2048 + w_px) * 2048 + h_px
+        ) * 4 + (fmx != 0) * 2 + (fmy != 0)
+        uniq, inv = np.unique(key, return_inverse=True)
+        dstp = (f.cur.y, f.cur.u, f.cur.v)[pl]
+        for g in range(len(uniq)):
+            sel = np.nonzero(inv == g)[0]
+            refidx = int(ref0[sel[0]])
+            src = (f.refp[refidx].y, f.refp[refidx].u, f.refp[refidx].v)[pl]
+            w = int(w_px[sel[0]])
+            h = int(h_px[sel[0]])
+            out = compute_8tap_batch(
+                src, dy[sel], dx[sel], w, h, fmx[sel], fmy[sel], f2d[sel],
+                vis_w, vis_h, bpc,
+            )
+            drows = by[sel][:, None] * v_mul + np.arange(h)[None, :]
+            dcols = bx[sel][:, None] * h_mul + np.arange(w)[None, :]
+            dstp[drows[:, :, None], dcols[:, None, :]] = out.astype(
+                dstp.dtype
+            )
+
+
+def _emit_batch_itx_from_store(f, items, batchable):
+    """Append itx jobs for every batchable block straight from the coef
+    store's per-txblock (plane, x, y) records (written by the native
+    syntax pass) — the vectorized form of read_coef_tree's apply walk."""
+    store = f.coef_store
+    n = len(items)
+    ntx = store.tx_pos
+    starts = np.fromiter(
+        (wi.tx_pos for wi in items), dtype=np.int64, count=n
+    )
+    ends = np.empty(n, dtype=np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = ntx
+    bsel = np.fromiter((batchable(wi) for wi in items), dtype=bool, count=n)
+    d = np.zeros(ntx + 1, dtype=np.int32)
+    np.add.at(d, starts[bsel], 1)
+    np.add.at(d, ends[bsel], -1)
+    mask = np.cumsum(d[:-1]) > 0
+    mask &= store.eob[:ntx] >= 0
+    tidx = np.nonzero(mask)[0]
+    if not tidx.size:
+        return
+    pls = store.txpl[tidx]
+    ws = store.txw[tidx].astype(np.int64)
+    hs = store.txh[tidx].astype(np.int64)
+    tps = store.txtp[tidx].astype(np.int64)
+    key = ((pls.astype(np.int64) * 2048 + ws) * 2048 + hs) * 32 + tps
+    uniq, inv = np.unique(key, return_inverse=True)
+    from ..ops.ref.itx import inv_txfm_add_batch
+
+    planes = (f.cur.y, f.cur.u, f.cur.v)
+    bpc = f.cur.bpc
+    for g in range(len(uniq)):
+        sel = tidx[inv == g]
+        pl = int(store.txpl[sel[0]])
+        w = int(store.txw[sel[0]])
+        h = int(store.txh[sel[0]])
+        txtp = int(store.txtp[sel[0]])
+        sw, shh = min(w, 32), min(h, 32)
+        sz = (sw >> 2) * (shh >> 2) * 16
+        offs = store.cf_off[sel]
+        cfs = store.cf[offs[:, None] + np.arange(sz)[None, :]]
+        inv_txfm_add_batch(
+            planes[pl], store.txy[sel], store.txx[sel], cfs,
+            store.eob[sel], w, h, txtp, bpc,
+        )

@@ -79,6 +79,20 @@ def mc(f, t, dst, dst_y, dst_x, bw4, bh4, bx, by, pl, mv, refp, refidx,
             )
             return _PrepHandle(len(f.prep_jobs) - 1)
         if (
+            defer_ok
+            and not prep
+            and filter2d != FILTER_2D_BILINEAR
+            and getattr(f, "mc_jobs", None) is not None
+        ):
+            # the batched executor's clamped gather reproduces emu_edge's
+            # border replication, so out-of-bounds puts defer too
+            f.mc_jobs.append(
+                (dst, dst_y, dst_x, plane, dy, dx, bw_px, bh_px,
+                 mx << (0 if ss_hor else 1), my << (0 if ss_ver else 1),
+                 filter2d, w, h)
+            )
+            return None
+        if (
             dx < mx3
             or dy < my3
             or dx + bw_px + (4 if mx else 0) > w
@@ -93,18 +107,6 @@ def mc(f, t, dst, dst_y, dst_x, bw4, bh4, bx, by, pl, mv, refp, refidx,
             src, sy, sx = plane, dy, dx
         fmx = mx << (0 if ss_hor else 1)
         fmy = my << (0 if ss_ver else 1)
-        if (
-            defer_ok
-            and not prep
-            and filter2d != FILTER_2D_BILINEAR
-            and getattr(f, "mc_jobs", None) is not None
-            and src is plane
-        ):
-            f.mc_jobs.append(
-                (dst, dst_y, dst_x, plane, dy, dx, bw_px, bh_px, fmx, fmy,
-                 filter2d, w, h)
-            )
-            return None
         if prep:
             if filter2d == FILTER_2D_BILINEAR:
                 return M.prep_bilin(src, sy, sx, bw_px, bh_px, fmx, fmy, bpc)
@@ -376,7 +378,8 @@ def read_coef_tree(t, f, ts, bs, b, ytx, depth, tx_split, x_off, y_off, dst,
                         )
 
 
-def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
+def recon_b_inter(t, f, ts, bs, b, phase="both", item=None,
+                  skip_residuals=False):
     """recon.rs rav1d_recon_b_inter:3162."""
     rd = phase in ("both", "read")
     ap = phase in ("both", "apply")
@@ -702,6 +705,10 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None):
 
 
     # residuals
+    if skip_residuals:
+        # batch phase: itx jobs are emitted wholesale from the coef store
+        # (recon/frame.py _emit_batch_itx_from_store)
+        return
     cw4 = (w4 + ss_hor) >> ss_hor
     ch4 = (h4 + ss_ver) >> ss_ver
     if b.skip:

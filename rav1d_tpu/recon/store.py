@@ -29,6 +29,11 @@ class CoefStore:
         self.txw = np.zeros(cap_tx, dtype=np.int16)  # pixel dims for batching
         self.txh = np.zeros(cap_tx, dtype=np.int16)
         self.cf_off = np.zeros(cap_tx, dtype=np.int64)
+        # per-txblock destination (native syntax pass fills these; they
+        # let the dense pass emit itx jobs straight from the store)
+        self.txpl = np.zeros(cap_tx, dtype=np.uint8)
+        self.txx = np.zeros(cap_tx, dtype=np.int32)
+        self.txy = np.zeros(cap_tx, dtype=np.int32)
         self.cf_pos = 0
         self.tx_pos = 0
         self.cf_rpos = 0
