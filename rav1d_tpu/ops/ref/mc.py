@@ -142,26 +142,28 @@ def compute_8tap_batch(src, sys_, sxs, w, h, mxs, mys, f2ds, vis_w, vis_h, bpc):
     def gather(y0s, nrow, x0s, ncol):
         rows = np.clip(y0s[:, None] + np.arange(nrow)[None, :], 0, vis_h - 1)
         cols = np.clip(x0s[:, None] + np.arange(ncol)[None, :], 0, vis_w - 1)
-        return src[rows[:, :, None], cols[:, None, :]].astype(np.int64)
+        # i32 accumulation is exact: |px|<=4095, |tap|<=127, 8 taps, and
+        # the v-pass sums i16 mids * taps (<= 2^25)
+        return src[rows[:, :, None], cols[:, None, :]].astype(np.int32)
 
     def hrow(ft_dir):
         i = np.where(w > 4, ft_dir, 3 + (ft_dir & 1))
-        return F[i, mxs - 1]  # (N, 8)
+        return F[i, mxs - 1].astype(np.int32)  # (N, 8)
 
     def vrow(ft_dir):
         i = np.where(h > 4, ft_dir, 3 + (ft_dir & 1))
-        return F[i, mys - 1]
+        return F[i, mys - 1].astype(np.int32)
 
     if has_h and has_v:
         win = gather(sys_ - 3, h + 7, sxs - 3, w + 7)
         fh = hrow(FD[:, 0])
         fv = vrow(FD[:, 1])
-        mid = np.zeros((N, h + 7, w), dtype=np.int64)
+        mid = np.zeros((N, h + 7, w), dtype=np.int32)
         for k in range(8):
             mid += fh[:, k, None, None] * win[:, :, k : k + w]
         sh = 6 - ib
-        mid = _i16((mid + ((1 << sh) >> 1)) >> sh)
-        out = np.zeros((N, h, w), dtype=np.int64)
+        mid = _i16((mid + ((1 << sh) >> 1)) >> sh).astype(np.int32)
+        out = np.zeros((N, h, w), dtype=np.int32)
         for k in range(8):
             out += fv[:, k, None, None] * mid[:, k : k + h, :]
         sh = 6 + ib
@@ -169,7 +171,7 @@ def compute_8tap_batch(src, sys_, sxs, w, h, mxs, mys, f2ds, vis_w, vis_h, bpc):
     elif has_h:
         win = gather(sys_, h, sxs - 3, w + 7)
         fh = hrow(FD[:, 0])
-        out = np.zeros((N, h, w), dtype=np.int64)
+        out = np.zeros((N, h, w), dtype=np.int32)
         for k in range(8):
             out += fh[:, k, None, None] * win[:, :, k : k + w]
         intermediate_rnd = 32 + ((1 << (6 - ib)) >> 1)
@@ -177,7 +179,7 @@ def compute_8tap_batch(src, sys_, sxs, w, h, mxs, mys, f2ds, vis_w, vis_h, bpc):
     elif has_v:
         win = gather(sys_ - 3, h + 7, sxs, w)
         fv = vrow(FD[:, 1])
-        out = np.zeros((N, h, w), dtype=np.int64)
+        out = np.zeros((N, h, w), dtype=np.int32)
         for k in range(8):
             out += fv[:, k, None, None] * win[:, k : k + h, :]
         out = np.clip((out + 32) >> 6, 0, pxmax)
@@ -637,21 +639,25 @@ def warp_affine_8x8_batch(dst, src, dys, dxs, sys_, sxs, abcds, mxs, mys,
 
     rows = np.clip(sys_[:, None] - 3 + np.arange(15)[None, :], 0, vis_h - 1)
     cols = np.clip(sxs[:, None] - 3 + np.arange(15)[None, :], 0, vis_w - 1)
-    region = src[rows[:, :, None], cols[:, None, :]].astype(np.int64)  # (N,15,15)
+    # i32 accumulation is exact here: |px|<=4095, |tap|<=127, 8 taps
+    region = src[rows[:, :, None], cols[:, None, :]].astype(np.int32)  # (N,15,15)
 
     ys = np.arange(15, dtype=np.int64)[None, :, None]
     xs = np.arange(8, dtype=np.int64)[None, None, :]
     tmx = mxs[:, None, None] + ys * abcds[:, 1, None, None] + xs * abcds[:, 0, None, None]
-    taps = F[64 + ((tmx + 512) >> 10)]  # (N, 15, 8, 8)
+    taps = F[64 + ((tmx + 512) >> 10)].astype(np.int32)  # (N, 15, 8, 8)
     win = np.lib.stride_tricks.sliding_window_view(region, 8, axis=2)  # (N,15,8,8)
     sh = 7 - ib
-    mid = _i16(((taps * win).sum(axis=3) + ((1 << sh) >> 1)) >> sh)  # (N,15,8)
+    mid = _i16(
+        (np.einsum("nrxk,nrxk->nrx", taps, win, dtype=np.int32) +
+         ((1 << sh) >> 1)) >> sh
+    ).astype(np.int32)  # (N,15,8)
 
     ys8 = np.arange(8, dtype=np.int64)[None, :, None]
     tmy = mys[:, None, None] + ys8 * abcds[:, 3, None, None] + xs * abcds[:, 2, None, None]
-    vtaps = F[64 + ((tmy + 512) >> 10)]  # (N, 8, 8, 8)
+    vtaps = F[64 + ((tmy + 512) >> 10)].astype(np.int32)  # (N, 8, 8, 8)
     vwin = np.lib.stride_tricks.sliding_window_view(mid, 8, axis=1)  # (N,8,8,8)
-    v = (vtaps * vwin).sum(axis=3)
+    v = np.einsum("nyxk,nyxk->nyx", vtaps, vwin, dtype=np.int32)
     sh = 7 + ib
     out = np.clip((v + ((1 << sh) >> 1)) >> sh, 0, pxmax)
 
