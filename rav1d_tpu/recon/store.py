@@ -21,8 +21,13 @@ class CoefStore:
     """
 
     def __init__(self, bw, bh, layout_mult=3):
-        cap_tx = bw * bh * layout_mult + 64
-        cap_cf = bw * bh * 16 * layout_mult + 1024
+        # transform blocks at the frame edge decode their FULL size even
+        # when partially outside (read_coef_tree walks whole txblocks), so
+        # budget on tx-aligned padded dims, not the frame area
+        pw = (bw + 16 + 15) & ~15
+        ph = (bh + 16 + 15) & ~15
+        cap_tx = pw * ph * layout_mult + 64
+        cap_cf = pw * ph * 16 * layout_mult + 1024
         self.cf = np.zeros(cap_cf, dtype=np.int32)
         self.eob = np.zeros(cap_tx, dtype=np.int32)
         self.txtp = np.zeros(cap_tx, dtype=np.int32)
