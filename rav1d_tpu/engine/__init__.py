@@ -1,0 +1,55 @@
+"""Device-resident dense engine.
+
+This is the TPU execution path of the decoder: after the (host, C) syntax
+pass has emitted the frame's work items + coefficient store, the engine
+ships everything to the device once and runs the whole dense pass there —
+batched inter prediction, batched inverse transforms, palette scatters, and
+the intra wavefront as wave-batched device steps — then fetches pixels once.
+
+This replaces the role of rav1d's fn-ptr DSP dispatch + per-thread recon
+replay (src/internal.rs:112-121, src/recon.rs recon_b_intra/inter): instead
+of per-block function calls, work is grouped into static-shape batches and
+the *pixel dependencies* of intra prediction are honored by a host-computed
+wave schedule (see plan.py).
+
+Gate: RAV1D_ENGINE=jax forces the engine, RAV1D_ENGINE=np forces the numpy
+path; by default the engine runs when jax's default backend is a TPU.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+_FORCED = None
+
+
+def enabled() -> bool:
+    global _FORCED
+    mode = os.environ.get("RAV1D_ENGINE", "")
+    if mode == "np":
+        return False
+    if mode == "jax":
+        return True
+    if _FORCED is None:
+        try:
+            import jax
+
+            _FORCED = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover - jax always present
+            _FORCED = False
+    return _FORCED
+
+
+def run_dense(t, f, tile_states, sbrow_marks, cols) -> bool:
+    """Run the dense pass on device. Returns False when the frame uses a
+    feature the engine does not cover yet (caller falls back to the numpy
+    path)."""
+    from .plan import build_plan
+    from .run import execute
+
+    plan = build_plan(t, f)
+    if plan is None:
+        return False
+    execute(f, plan)
+    return True

@@ -69,14 +69,14 @@ def _apply_1d(name, n, lanes, mn, mx):
     R._FAMILY[name][n](lanes, mn, mx)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def itx_add_batch(dst, coeff, w, h, txtp, bpc):
-    """Inverse-transform a batch of blocks and add into pixel blocks.
+def itx_core(coeff, w, h, txtp, bpc):
+    """Inverse-transform a batch of coefficient blocks into residuals.
 
-    dst: (N, h, w) int32 pixel blocks; coeff: (N, sh, sw) int32 dequantized
-    coefficients in natural (y, x) order (sh/sw = min(h/w, 32)).
-    Returns the reconstructed (N, h, w) int32 blocks, clipped to bpc.
-    Parity: ops.ref.itx.inv_txfm_add per block.
+    coeff: (N, sh, sw) int32 dequantized coefficients in natural (y, x)
+    order (sh/sw = min(h/w, 32)). Returns (N, h, w) int32 residuals (the
+    reference's final `(acc + 8) >> 4` values, before the pixel add).
+    Traceable: composes into larger jitted phases (the engine's residual
+    scatter) as well as the jitted itx_add_batch wrapper below.
     """
     first_name, second_name = R._TXTP_1D[txtp]
     shift = R._SHIFTS[(w, h)]
@@ -110,5 +110,13 @@ def itx_add_batch(dst, coeff, w, h, txtp, bpc):
     lanes = _Lanes([mid[:, y, :] if y < sh else zeros2 for y in range(h)])
     _apply_1d(second_name, h, lanes, col_clip_min, col_clip_max)
     res = jnp.stack([lanes.vals[y] for y in range(h)], axis=1)  # (N, h, w)
-    res = (res + 8) >> 4
+    return (res + 8) >> 4
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def itx_add_batch(dst, coeff, w, h, txtp, bpc):
+    """Inverse-transform a batch of blocks and add into pixel blocks.
+    Parity: ops.ref.itx.inv_txfm_add per block."""
+    pixel_max = (1 << bpc) - 1
+    res = itx_core(coeff, w, h, txtp, bpc)
     return (dst + res).clip(0, pixel_max)

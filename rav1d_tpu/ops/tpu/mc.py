@@ -32,7 +32,7 @@ def _i16(a):
     return ((a + 0x8000) & 0xFFFF) - 0x8000
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 9))
 def mc_8tap_batch(src, sys_, sxs, w, h, has_h, has_v, vis_w, vis_h, bpc,
                   mxs=None, mys=None, f2ds=None):
     """Batched put_8tap: src (H, W) int32 plane; sys_/sxs (N,) full-pel
@@ -98,7 +98,7 @@ def _warp_filters():
     return jnp.asarray(_WARP_F_NP, jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
+@partial(jax.jit, static_argnums=(8,))
 def warp_8x8_batch(src, sys_, sxs, abcds, mxs, mys, vis_w, vis_h, bpc):
     """Batched 8x8 warp tiles: per-tile affine phase ramps select the 64
     warp filter rows; two 8-tap passes over a 15x15 clamp-gathered window.
@@ -131,7 +131,7 @@ def warp_8x8_batch(src, sys_, sxs, abcds, mxs, mys, vis_w, vis_h, bpc):
     return jnp.clip((v + ((1 << sh) >> 1)) >> sh, 0, pxmax)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 9))
 def prep_8tap_batch(src, sys_, sxs, w, h, has_h, has_v, vis_w, vis_h, bpc,
                     mxs=None, mys=None, f2ds=None):
     """Batched prep_8tap (compound intermediates; src/mc.rs prep_8tap_rust:277
@@ -188,7 +188,7 @@ def prep_8tap_batch(src, sys_, sxs, w, h, has_h, has_v, vis_w, vis_h, bpc,
     return _i16(out)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(3, 4, 5, 8))
 def bilin_batch(src, sys_, sxs, w, h, is_prep, vis_w, vis_h, bpc,
                 mxs=None, mys=None):
     """Batched put/prep_bilin (mc.rs put_bilin_rust:431 / prep_bilin_rust:543).
@@ -315,7 +315,7 @@ def blend_h_batch(a, b, h):
     return (a * (64 - m) + b * m + 32) >> 6
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12),
+@partial(jax.jit, static_argnums=(7, 8, 9, 12),
          static_argnames=("is_prep",))
 def mc_8tap_scaled_batch(src, sys_, sxs, mxs, mys, dxs, dys, w, h, tmp_h,
                          vis_w, vis_h, bpc, f2ds=None, is_prep=False):
@@ -371,7 +371,7 @@ def mc_8tap_scaled_batch(src, sys_, sxs, mxs, mys, dxs, dys, w, h, tmp_h,
     return jnp.where((yphase != 0)[:, :, None], vflt, vraw)
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12),
+@partial(jax.jit, static_argnums=(7, 8, 9, 12),
          static_argnames=("is_prep",))
 def bilin_scaled_batch(src, sys_, sxs, mxs, mys, dxs, dys, w, h, tmp_h,
                        vis_w, vis_h, bpc, is_prep=False):

@@ -147,9 +147,15 @@ def decode_frame(ctx, f):
                 _refmvs.save_tmvs(f.rf, 0, f.bw >> 1, by >> 1, by_end)
             sbrow_marks.append((tile_row, sby, len(f.work_items)))
 
-    # dense pass: replay the work items sbrow by sbrow (pass-2 analog;
-    # per-sbrow so next-row intra prediction sees its top edge backup)
-    run_dense_pass(t, f, tile_states, sbrow_marks, cols)
+    # dense pass: device engine when available (batched device phases +
+    # wave-scheduled intra; engine/), else the numpy replay (sbrow by
+    # sbrow so next-row intra prediction sees its top edge backup)
+    from .. import engine as _engine
+
+    if _engine.enabled() and _engine.run_dense(t, f, tile_states, sbrow_marks, cols):
+        f.work_items = []
+    else:
+        run_dense_pass(t, f, tile_states, sbrow_marks, cols)
 
     from .lf import apply_loopfilter
     from .cdef_apply import apply_cdef
