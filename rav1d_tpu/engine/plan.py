@@ -116,10 +116,24 @@ class _Item:
         self.wave = 0
 
 
-def edge_len(tw, th):
-    """Edge-plan vector length for a (tw, th) 4px-unit transform size; the
-    top-left sample sits at offset 8*th."""
-    return 8 * th + 1 + 8 * tw
+# wavefront size classes (engine/wave2.py executes one traced-size kernel
+# program per class): S covers tx <= 16x16, L the rest up to 64x64
+CLS_S = (16, 16)
+CLS_L = (64, 64)
+# per-wave slot capacity per class; overflowing items are pushed to later
+# waves by _assign_waves (always dependency-safe)
+CAP = {0: 64, 1: 16}
+
+
+def item_class(w_px, h_px):
+    return 0 if (w_px <= CLS_S[0] and h_px <= CLS_S[1]) else 1
+
+
+def _alloc_coords(tw, th):
+    """Class-layout edge-plan vector for a (tw, th) 4px-unit tx size:
+    (coords, off) with the top-left sample at off = 2*CH."""
+    CW, CH = CLS_S if item_class(4 * tw, 4 * th) == 0 else CLS_L
+    return np.full(2 * CH + 1 + 2 * CW, -1, np.int32), 2 * CH
 
 
 def plan_edges(coords, off, x, have_left, y, have_top, w, h, edge_flags,
@@ -259,10 +273,16 @@ def _assign_waves(plan, f):
     An item's reads (top strip incl. top-right, left strip incl.
     bottom-left, CfL luma rect) must come from strictly earlier waves;
     decode order makes every read a prior write, so a single forward pass
-    suffices (cf. rav1d's sbrow task ordering, src/thread_task.rs:473)."""
+    suffices (cf. rav1d's sbrow task ordering, src/thread_task.rs:473).
+
+    Waves have per-class slot capacity (CAP): an item landing in a full
+    wave is pushed later, which is always dependency-safe (dependents read
+    the pushed wave from the grid). Capacity is what lets the wave-scan
+    executor use small static batch shapes."""
     ah, aw = plan.ah, plan.aw
     gh, gw = ah >> 2, aw >> 2
     grid = np.zeros((3, gh, gw), dtype=np.int32)
+    counts = [[], []]  # per-class per-wave item counts (1-based waves)
     maxw = 0
     for it in plan.items:
         cy, cx = it.y >> 2, it.x >> 2
@@ -283,7 +303,18 @@ def _assign_waves(plan, f):
             lw = (it.w << (1 if f.cur.layout != PixelLayout.I444 else 0)) >> 2
             w = max(w, int(grid[0, ly : ly + max(lh, 1),
                                 lx : lx + max(lw, 1)].max(initial=0)))
-        it.wave = w + 1
+        cls = item_class(it.w, it.h)
+        cnt = counts[cls]
+        cap = CAP[cls]
+        w += 1
+        while True:
+            while len(cnt) <= w:
+                cnt.append(0)
+            if cnt[w] < cap:
+                break
+            w += 1
+        cnt[w] += 1
+        it.wave = w
         grid[it.pl, cy : cy + ch, cx : cx + cw] = it.wave
         if it.wave > maxw:
             maxw = it.wave
@@ -376,9 +407,7 @@ def _plan_b_intra(plan, t, f, ts, bs, intra_edge_flags, b, item, cur):
                             tx_idx = idx
                     if b.pal_sz[0]:
                         if tx_idx >= 0:
-                            coords = np.full(
-                                edge_len(t_dim.w, t_dim.h), -1, np.int64
-                            )
+                            coords, _ = _alloc_coords(t_dim.w, t_dim.h)
                             _emit(plan, f, 0, 4 * t.bx, 4 * t.by,
                                   t_dim.w * 4, t_dim.h * 4, MODE_IDENT, 0,
                                   tx_idx, coords, False)
@@ -398,13 +427,11 @@ def _plan_b_intra(plan, t, f, ts, bs, intra_edge_flags, b, item, cur):
                             )
                             else 0
                         )
-                        coords = np.full(
-                            edge_len(t_dim.w, t_dim.h), -1, np.int64
-                        )
+                        coords, coff = _alloc_coords(t_dim.w, t_dim.h)
                         have_left = t.bx > ts.col_start
                         have_top = t.by > ts.row_start
                         m, angle, sm_tl = plan_edges(
-                            coords, 8 * t_dim.h, t.bx, have_left, t.by,
+                            coords, coff, t.bx, have_left, t.by,
                             have_top, ts.col_end, ts.row_end, ef, 0, aw,
                             b.y_mode, b.y_angle, t_dim.w, t_dim.h,
                             intra_edge_filter, bpc,
@@ -501,13 +528,11 @@ def _plan_chroma(plan, t, f, ts, b, bs, init_x, init_y, sub_ch4, cw4, ch4,
                     # CfL: DC-family edges + luma ac (computed on device)
                     xstart = ts.col_start >> ss_hor
                     ystart = ts.row_start >> ss_ver
-                    coords = np.full(
-                        edge_len(uv_t_dim.w, uv_t_dim.h), -1, np.int64
-                    )
+                    coords, coff = _alloc_coords(uv_t_dim.w, uv_t_dim.h)
                     have_left = xpos > xstart
                     have_top = ypos > ystart
                     m, _, _ = plan_edges(
-                        coords, 8 * uv_t_dim.h, xpos, have_left, ypos,
+                        coords, coff, xpos, have_left, ypos,
                         have_top, ts.col_end >> ss_hor, ts.row_end >> ss_ver,
                         0, (1 + pl) * psz, aw, DC_PRED, 0, uv_t_dim.w,
                         uv_t_dim.h, 0, bpc,
@@ -523,9 +548,7 @@ def _plan_chroma(plan, t, f, ts, b, bs, init_x, init_y, sub_ch4, cw4, ch4,
                     it.cfl_wpad, it.cfl_hpad = cfl_pads
                 elif b.pal_sz[1]:
                     if tx_idx >= 0:
-                        coords = np.full(
-                            edge_len(uv_t_dim.w, uv_t_dim.h), -1, np.int64
-                        )
+                        coords, _ = _alloc_coords(uv_t_dim.w, uv_t_dim.h)
                         _emit(plan, f, 1 + pl, 4 * xpos, 4 * ypos,
                               uv_t_dim.w * 4, uv_t_dim.h * 4, MODE_IDENT,
                               0, tx_idx, coords, False)
@@ -549,13 +572,11 @@ def _plan_chroma(plan, t, f, ts, b, bs, init_x, init_y, sub_ch4, cw4, ch4,
                     uv_mode = DC_PRED if cfl else b.uv_mode
                     xstart = ts.col_start >> ss_hor
                     ystart = ts.row_start >> ss_ver
-                    coords = np.full(
-                        edge_len(uv_t_dim.w, uv_t_dim.h), -1, np.int64
-                    )
+                    coords, coff = _alloc_coords(uv_t_dim.w, uv_t_dim.h)
                     have_left = xpos > xstart
                     have_top = ypos > ystart
                     m, angle, sm_tl = plan_edges(
-                        coords, 8 * uv_t_dim.h, xpos, have_left, ypos,
+                        coords, coff, xpos, have_left, ypos,
                         have_top, ts.col_end >> ss_hor, ts.row_end >> ss_ver,
                         ef, (1 + pl) * psz, aw, uv_mode, angle, uv_t_dim.w,
                         uv_t_dim.h, intra_edge_filter, bpc,

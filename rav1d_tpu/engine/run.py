@@ -1,11 +1,14 @@
 """Engine executor: ship the frame plan to the device, run the dense pass
-there (residual scatter -> palette scatter -> wave schedule), and write the
-pixels back into the frame's host planes.
+there (residual scatter -> palette scatter -> one wave-scan dispatch), and
+fetch the pixels once, packed at the output bit width.
 
-All device calls are enqueued asynchronously; the only host sync is the
-final plane download (device_get), which E3 replaces with lazy output
-fetch + device-resident post-filters.
-"""
+Dispatch budget per frame: one upload per descriptor array (~a dozen), one
+`_resid_scatter` per (w, h, txtp) group reading a single uploaded
+coefficient buffer, one `wave_scan` (the whole wavefront as a lax.scan,
+engine/wave2.py), and ONE device->host transfer of uint8/uint16 pixels —
+the shape that survives the tunnel's dispatch latency and narrow
+device->host path. Role parity: rav1d's fn-ptr DSP dispatch + recon replay
+(src/internal.rs:112-121, src/recon.rs:2402)."""
 
 from __future__ import annotations
 
@@ -17,28 +20,36 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.tpu.itx import itx_core
-from .wave import wave_step
+from .plan import CLS_L, CLS_S, MODE_CFL_DC, MODE_IDENT, item_class
+from .wave2 import wave_scan
 
 
 def _pow2(n, lo=8):
-    # quantize batch sizes to powers of 4: fewer jit specializations at a
-    # bounded (<4x) padding waste on the batch axis
     p = lo
     while p < n:
-        p <<= 2
+        p <<= 1
     return p
 
 
-# sticky per-(w, h, bpc) feature sets: once a size class has seen a feature
-# anywhere in the stream, keep tracing it — monotonic growth keeps the jit
-# key count bounded (recompiles happen only when a feature first appears)
+def _bucket_waves(n):
+    """Pad the wave count to a bounded bucket set (pow2 and 1.5*pow2) so the
+    scan length — part of the jit key — takes few distinct values."""
+    b = 16
+    while True:
+        if n <= b:
+            return b
+        if n <= b + (b >> 1):
+            return b + (b >> 1)
+        b <<= 1
+
+
+# sticky per-(class, bpc) feature sets: once a feature appears in a stream,
+# keep tracing it — monotonic growth keeps the jit key count bounded
 _STICKY_FEATS = {}
 
 
 def setup_cache():
-    """Persistent XLA compilation cache: the wave/phase kernels specialize
-    per (size, feats, N); caching across processes makes repeat runs (tests,
-    bench) start hot."""
+    """Persistent XLA compilation cache so repeat runs start hot."""
     try:
         cache = os.environ.get(
             "RAV1D_JAX_CACHE",
@@ -53,11 +64,13 @@ def setup_cache():
 setup_cache()
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7), donate_argnums=(0,))
-def _resid_scatter(residf, cfs, flat0, w, h, txtp, bpc, aw):
-    """Inverse-transform a (N, sh*sw) coefficient batch and scatter the
-    residuals to their plane positions in the flat residual buffer."""
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8), donate_argnums=(0,))
+def _resid_scatter(residf, cfbuf, offs, flat0, w, h, txtp, bpc, aw):
+    """Inverse-transform a batch of coefficient blocks (gathered from the
+    frame's single uploaded cf buffer) and scatter the residuals to their
+    plane positions in the flat residual buffer."""
     sh, sw = min(h, 32), min(w, 32)
+    cfs = cfbuf[offs[:, None] + jnp.arange(sh * sw)[None, :]]
     # store cf layout is "rc": coeff[y + x*sh] (see ref inv_txfm_add)
     cb = cfs.reshape(cfs.shape[0], sw, sh).transpose(0, 2, 1)
     res = itx_core(cb, w, h, txtp, bpc)
@@ -67,6 +80,71 @@ def _resid_scatter(residf, cfs, flat0, w, h, txtp, bpc, aw):
         + jnp.arange(w)[None, None, :]
     )
     return residf.at[idx].set(res, mode="drop")
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _pal_scatter(pf, pix, flat0, aw):
+    """Scatter N same-size palette pixel blocks into the flat planes."""
+    idx = (
+        flat0[:, None, None]
+        + jnp.arange(pix.shape[1])[None, :, None] * aw
+        + jnp.arange(pix.shape[2])[None, None, :]
+    )
+    return pf.at[idx].set(pix, mode="drop")
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _pack_out(planes, ach, acw, bpc):
+    """Pack Y + chroma planes into one flat output buffer at the output bit
+    width — the only device->host transfer of the dense pass."""
+    y = planes[0].reshape(-1)
+    u = planes[1, :ach, :acw].reshape(-1)
+    v = planes[2, :ach, :acw].reshape(-1)
+    flat = jnp.concatenate([y, u, v])
+    return flat.astype(jnp.uint8 if bpc == 8 else jnp.uint16)
+
+
+def _pack_class(items, NW, B, EL, psz):
+    """Pack one class's items into the (NW, B, EL + N_FIELDS) int32 blob
+    (layout in wave2.FIELDS): one upload per class per frame."""
+    from .wave2 import FIELDS, N_FIELDS
+
+    blob = np.zeros((NW, B, EL + N_FIELDS), np.int32)
+    blob[:, :, :EL] = -1  # coords default: constant 0
+    fi = {k: EL + i for i, k in enumerate(FIELDS)}
+    blob[:, :, fi["flat0"]] = 3 * psz  # padded lanes scatter out of bounds
+    blob[:, :, fi["w"]] = 4
+    blob[:, :, fi["h"]] = 4
+    fill = np.zeros(NW, np.int32)
+    feats = set()
+    for it, aw in items:
+        wv = it.wave - 1
+        k = fill[wv]
+        fill[wv] += 1
+        row = blob[wv, k]
+        row[: len(it.coords)] = it.coords
+        row[fi["modes"]] = it.mode
+        row[fi["angles"]] = it.angle
+        row[fi["flat0"]] = it.pl * psz + it.y * aw + it.x
+        row[fi["rmask"]] = it.tx >= 0
+        row[fi["z2mw"]] = it.z2_mw
+        row[fi["z2mh"]] = it.z2_mh
+        row[fi["z2sm"]] = it.z2_sm
+        row[fi["w"]] = it.w
+        row[fi["h"]] = it.h
+        if it.mode in (6, 7, 8):
+            feats.add("z")
+        elif it.mode == 13:
+            feats.add("filter")
+        elif it.mode == MODE_IDENT:
+            feats.add("ident")
+        elif it.mode >= MODE_CFL_DC:
+            feats.add("cfl")
+            row[fi["cfla"]] = it.cfl_alpha
+            row[fi["cfl0"]] = it.cfl_ly * aw + it.cfl_lx
+            row[fi["cflwp"]] = it.cfl_wpad
+            row[fi["cflhp"]] = it.cfl_hpad
+    return blob, feats
 
 
 def execute(f, plan):
@@ -83,105 +161,110 @@ def execute(f, plan):
     residf = jnp.zeros(3 * psz, jnp.int32)
 
     # --- residual phase: batched itx per (w, h, txtp) straight from the
-    # coefficient store (rav1d pass-2 read_coef replay, batched) ---
+    # coefficient store (rav1d pass-2 read_coef replay, batched); the cf
+    # buffer uploads once, groups gather from it on device ---
     store = f.coef_store
     sel = plan.wavefront_tx
     if sel.size:
         sel = sel[store.eob[sel] >= 0]
     if sel.size:
+        cfbuf = jnp.asarray(store.cf[: store.cf_pos])
         ws = store.txw[sel].astype(np.int64)
         hs = store.txh[sel].astype(np.int64)
         tps = store.txtp[sel].astype(np.int64)
         key = (ws * 2048 + hs) * 32 + tps
         uniq, inv = np.unique(key, return_inverse=True)
+        # pack every group's (offs, flat0) into one upload; groups slice it
+        # on device (per-transfer latency >> bandwidth on the tunnel)
+        groups = []
+        chunks = []
+        pos = 0
         for g in range(len(uniq)):
             gsel = sel[inv == g]
-            w = int(store.txw[gsel[0]])
-            h = int(store.txh[gsel[0]])
-            txtp = int(store.txtp[gsel[0]])
-            sh, sw = min(h, 32), min(w, 32)
-            sz = sh * sw
             n = len(gsel)
             npad = _pow2(n)
-            offs = store.cf_off[gsel]
-            cfs = np.zeros((npad, sz), np.int32)
-            cfs[:n] = store.cf[offs[:, None] + np.arange(sz)[None, :]]
+            offs = np.zeros(npad, np.int32)
+            offs[:n] = store.cf_off[gsel]
             flat0 = np.full(npad, 3 * psz, np.int32)
             flat0[:n] = (
                 store.txpl[gsel].astype(np.int64) * psz
                 + store.txy[gsel].astype(np.int64) * aw
                 + store.txx[gsel]
             )
+            chunks.append(offs)
+            chunks.append(flat0)
+            groups.append(
+                (int(store.txw[gsel[0]]), int(store.txh[gsel[0]]),
+                 int(store.txtp[gsel[0]]), pos, npad)
+            )
+            pos += 2 * npad
+        idxbuf = jnp.asarray(np.concatenate(chunks))
+        for w, h, txtp, pos, npad in groups:
             residf = _resid_scatter(
-                residf, jnp.asarray(cfs), jnp.asarray(flat0),
+                residf, cfbuf, idxbuf[pos : pos + npad],
+                idxbuf[pos + npad : pos + 2 * npad],
                 w, h, txtp, bpc, aw,
             )
 
-    # --- palette scatter (entropy-determined pixels; pre-wavefront) ---
-    for pl, y, x, pix in plan.pal:
-        planes = planes.at[pl, y : y + pix.shape[0], x : x + pix.shape[1]].set(
-            jnp.asarray(pix)
-        )
+    # --- palette scatter (entropy-determined pixels; pre-wavefront),
+    # batched per block shape ---
+    if plan.pal:
+        pf = planes.reshape(-1)
+        groups = {}
+        for pl, y, x, pix in plan.pal:
+            groups.setdefault(pix.shape, []).append(
+                (pl * psz + y * aw + x, pix)
+            )
+        for shape, blocks in groups.items():
+            flat0 = np.fromiter((b[0] for b in blocks), np.int32,
+                                count=len(blocks))
+            pix = np.stack([b[1] for b in blocks])
+            pf = _pal_scatter(pf, jnp.asarray(pix), jnp.asarray(flat0), aw)
+        planes = pf.reshape(planes.shape)
 
-    # --- wave schedule ---
-    groups = {}
-    for it in plan.items:
-        groups.setdefault((it.wave, it.w, it.h), []).append(it)
-    for (wv, w, h), its in sorted(groups.items()):
-        n = len(its)
-        npad = _pow2(n)
-        EL = 2 * h + 1 + 2 * w
-        coords = np.full((npad, EL), -1, np.int32)
-        modes = np.zeros(npad, np.int32)
-        angles = np.zeros(npad, np.int32)
-        flat0 = np.full(npad, 3 * psz, np.int32)
-        rmask = np.zeros(npad, bool)
-        z2mw = np.zeros(npad, np.int32)
-        z2mh = np.zeros(npad, np.int32)
-        z2sm = np.zeros(npad, bool)
-        cfl_alpha = np.zeros(npad, np.int32)
-        cfl_l0 = np.zeros(npad, np.int32)
-        cfl_wpad = np.zeros(npad, np.int32)
-        cfl_hpad = np.zeros(npad, np.int32)
-        feats = set()
-        for k, it in enumerate(its):
-            coords[k] = it.coords
-            modes[k] = it.mode
-            angles[k] = it.angle
-            flat0[k] = it.pl * psz + it.y * aw + it.x
-            rmask[k] = it.tx >= 0
-            z2mw[k] = it.z2_mw
-            z2mh[k] = it.z2_mh
-            z2sm[k] = it.z2_sm
-            if it.mode in (6, 7, 8):
-                feats.add("z")
-            elif it.mode == 13:
-                feats.add("filter")
-            elif it.mode == 14:
-                feats.add("ident")
-            elif it.mode >= 15:
-                feats.add("cfl")
-                cfl_alpha[k] = it.cfl_alpha
-                cfl_l0[k] = it.cfl_ly * aw + it.cfl_lx
-                cfl_wpad[k] = it.cfl_wpad
-                cfl_hpad[k] = it.cfl_hpad
-        sticky = _STICKY_FEATS.setdefault((w, h, bpc), set())
+    # --- wavefront: one scan dispatch over wave levels ---
+    sitems = [(it, aw) for it in plan.items if item_class(it.w, it.h) == 0]
+    litems = [(it, aw) for it in plan.items if item_class(it.w, it.h) == 1]
+    NW = _bucket_waves(max(plan.n_waves, 1))
+    sdesc = ldesc = None
+    featsS = featsL = None
+    if sitems:
+        cnt = np.zeros(NW, np.int64)
+        for it, _ in sitems:
+            cnt[it.wave - 1] += 1
+        B = _pow2(int(cnt.max()), lo=8)
+        EL = 2 * CLS_S[1] + 1 + 2 * CLS_S[0]
+        blob, feats = _pack_class(sitems, NW, B, EL, psz)
+        sticky = _STICKY_FEATS.setdefault((0, bpc), set())
         sticky |= feats
-        feats = sticky
-        planes = wave_step(
-            planes, residf, w, h, bpc, tuple(sorted(feats)), ss_hor, ss_ver,
-            coords=jnp.asarray(coords), modes=jnp.asarray(modes),
-            angles=jnp.asarray(angles), flat0=jnp.asarray(flat0),
-            rmask=jnp.asarray(rmask), z2mw=jnp.asarray(z2mw),
-            z2mh=jnp.asarray(z2mh), z2sm=jnp.asarray(z2sm),
-            cfl_alpha=jnp.asarray(cfl_alpha), cfl_l0=jnp.asarray(cfl_l0),
-            cfl_wpad=jnp.asarray(cfl_wpad), cfl_hpad=jnp.asarray(cfl_hpad),
+        featsS = tuple(sorted(sticky))
+        sdesc = jnp.asarray(blob)
+    if litems:
+        cnt = np.zeros(NW, np.int64)
+        for it, _ in litems:
+            cnt[it.wave - 1] += 1
+        B = _pow2(int(cnt.max()), lo=2)
+        EL = 2 * CLS_L[1] + 1 + 2 * CLS_L[0]
+        blob, feats = _pack_class(litems, NW, B, EL, psz)
+        sticky = _STICKY_FEATS.setdefault((1, bpc), set())
+        sticky |= feats
+        featsL = tuple(sorted(sticky))
+        ldesc = jnp.asarray(blob)
+    if featsS is not None or featsL is not None:
+        planes = wave_scan(
+            planes, residf, sdesc, ldesc, bpc=bpc,
+            ss_hor=ss_hor, ss_ver=ss_ver, featsS=featsS, featsL=featsL,
         )
 
-    # --- writeback (E1: host post-filters still consume numpy planes) ---
-    host = np.asarray(jax.device_get(planes))
-    f.cur.y[:, :] = host[0].astype(f.cur.y.dtype)
+    # --- writeback: one packed fetch (host post-filters consume numpy
+    # planes until they move on device) ---
     if f.cur.u is not None:
         ach, acw = f.cur.u.shape
-        f.cur.u[:, :] = host[1, :ach, :acw].astype(f.cur.u.dtype)
-        f.cur.v[:, :] = host[2, :ach, :acw].astype(f.cur.v.dtype)
+    else:
+        ach = acw = 0
+    flat = np.asarray(jax.device_get(_pack_out(planes, ach, acw, bpc)))
+    f.cur.y[:, :] = flat[:psz].reshape(ah, aw)
+    if f.cur.u is not None:
+        csz = ach * acw
+        f.cur.u[:, :] = flat[psz : psz + csz].reshape(ach, acw)
+        f.cur.v[:, :] = flat[psz + csz :].reshape(ach, acw)

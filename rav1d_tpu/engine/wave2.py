@@ -1,0 +1,183 @@
+"""Single-dispatch wavefront executor: the whole intra wavefront of a frame
+runs as ONE jitted `lax.scan` over wave levels.
+
+Items are bucketed into two static size classes — S (tx <= 16x16) and
+L (up to 64x64) — with per-wave slot capacity; descriptors are stacked
+host-side into (NW, B, ...) arrays and uploaded once. Each scan step gathers
+the items' edges from the current planes, predicts (traced-size kernels,
+ops/tpu/ipred_dyn.py), adds residuals, and scatters disjoint blocks back.
+
+This replaces the per-(wave, size) dispatch model: the tunnel/dispatch cost
+drops from O(waves x sizes) jit calls to O(1), and the XLA specialization
+key is only (plane shape, bpc, feats, B, NW-bucket) — bounded per stream.
+
+Parity: same oracle as the per-call path (src/recon.rs recon_b_intra order,
+validated by tests/test_engine.py full-decode MD5s).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.tpu import ipred_dyn as D
+from .plan import (
+    MODE_CFL_128,
+    MODE_CFL_DC,
+    MODE_CFL_LEFT,
+    MODE_CFL_TOP,
+    MODE_IDENT,
+)
+from ..syntax.levels import (
+    DC_128_PRED,
+    DC_PRED,
+    FILTER_PRED,
+    HOR_PRED,
+    LEFT_DC_PRED,
+    PAETH_PRED,
+    SMOOTH_H_PRED,
+    SMOOTH_PRED,
+    SMOOTH_V_PRED,
+    TOP_DC_PRED,
+    VERT_PRED,
+    Z1_PRED,
+    Z2_PRED,
+    Z3_PRED,
+)
+
+CLS_S = (16, 16)
+CLS_L = (64, 64)
+
+_BASE_FNS = [
+    (DC_PRED, D.dc_dyn),
+    (VERT_PRED, D.v_dyn),
+    (HOR_PRED, D.h_dyn),
+    (LEFT_DC_PRED, D.dc_left_dyn),
+    (TOP_DC_PRED, D.dc_top_dyn),
+    (DC_128_PRED, D.dc_128_dyn),
+    (SMOOTH_PRED, D.smooth_dyn),
+    (SMOOTH_V_PRED, D.smooth_v_dyn),
+    (SMOOTH_H_PRED, D.smooth_h_dyn),
+    (PAETH_PRED, D.paeth_dyn),
+]
+
+_CFL_DC_FNS = {
+    MODE_CFL_DC: D.dc_dyn,
+    MODE_CFL_TOP: D.dc_top_dyn,
+    MODE_CFL_LEFT: D.dc_left_dyn,
+    MODE_CFL_128: D.dc_128_dyn,
+}
+
+
+def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz):
+    C = 2 * CH
+    w = d["w"]
+    h = d["h"]
+    coords = d["coords"]
+    edge = jnp.where(
+        coords < 0, -coords - 1, pf[jnp.clip(coords, 0, pf.shape[0] - 1)]
+    )
+    modes = d["modes"]
+    angles = d["angles"]
+    m3 = modes[:, None, None]
+    pxmax = (1 << bpc) - 1
+
+    out = D.dc_dyn(edge, C, CW, CH, w, h, bpc)
+    for code, fn in _BASE_FNS[1:]:
+        out = jnp.where(m3 == code, fn(edge, C, CW, CH, w, h, bpc), out)
+    if "z" in feats:
+        out = jnp.where(
+            m3 == Z1_PRED, D.z1_dyn(edge, C, CW, CH, w, h, bpc, angles), out
+        )
+        out = jnp.where(
+            m3 == Z2_PRED,
+            D.z2_dyn(edge, C, CW, CH, w, h, bpc, angles,
+                     d["z2mw"], d["z2mh"], d["z2sm"]),
+            out,
+        )
+        out = jnp.where(
+            m3 == Z3_PRED, D.z3_dyn(edge, C, CW, CH, w, h, bpc, angles), out
+        )
+    if "filter" in feats:
+        out = jnp.where(
+            m3 == FILTER_PRED,
+            D.filter_dyn(edge, C, CW, CH, w, h, bpc, angles),
+            out,
+        )
+
+    dy = jnp.arange(CH)[None, :, None] * aw
+    dx = jnp.arange(CW)[None, None, :]
+    idx = d["flat0"][:, None, None] + dy + dx
+
+    if "ident" in feats:
+        own = pf[jnp.clip(idx, 0, pf.shape[0] - 1)]
+        out = jnp.where(m3 == MODE_IDENT, own, out)
+    if "cfl" in feats:
+        ldy = jnp.arange(CH << ss_ver)[None, :, None] * aw
+        ldx = jnp.arange(CW << ss_hor)[None, None, :]
+        lidx = d["cfl0"][:, None, None] + ldy + ldx
+        ypx = pf[jnp.clip(lidx, 0, pf.shape[0] - 1)]
+        ac = D.cfl_ac_dyn(ypx, CW, CH, w, h, ss_hor, ss_ver,
+                          d["cflwp"], d["cflhp"])
+        for code, fn in _CFL_DC_FNS.items():
+            dc = fn(edge, C, CW, CH, w, h, bpc)[:, 0, 0]
+            pred = D.cfl_pred_dyn(dc, ac, d["cfla"], bpc)
+            out = jnp.where(m3 == code, pred, out)
+
+    res = resid[jnp.clip(idx, 0, resid.shape[0] - 1)]
+    out = jnp.where(
+        d["rmask"][:, None, None], jnp.clip(out + res, 0, pxmax), out
+    )
+    mask = (jnp.arange(CW)[None, None, :] < w[:, None, None]) & (
+        jnp.arange(CH)[None, :, None] < h[:, None, None]
+    )
+    idx = jnp.where(mask, idx, 3 * psz)
+    return pf.at[idx].set(out, mode="drop")
+
+
+# blob layout: one int32 row per item = [coords(EL) | 13 scalar fields];
+# a single upload per class per frame (the tunnel's per-transfer latency
+# dwarfs bandwidth, so N small uploads lose badly to 1 packed one)
+FIELDS = ("modes", "angles", "flat0", "rmask", "z2mw", "z2mh", "z2sm",
+          "cfla", "cfl0", "cflwp", "cflhp", "w", "h")
+N_FIELDS = len(FIELDS)
+
+
+def _unpack_blob(blob, EL):
+    d = {"coords": blob[:, :EL]}
+    for i, k in enumerate(FIELDS):
+        v = blob[:, EL + i]
+        d[k] = (v != 0) if k in ("rmask", "z2sm") else v
+    return d
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bpc", "ss_hor", "ss_ver", "featsS", "featsL"),
+    donate_argnames=("planes",),
+)
+def wave_scan(planes, resid, sblob, lblob, *, bpc, ss_hor, ss_ver,
+              featsS, featsL):
+    """planes (3, ah, aw) int32 (donated); resid (3*ah*aw,) int32;
+    sblob/lblob: (NW, B, EL+N_FIELDS) int32 packed wave descriptors (or
+    None); featsS/featsL: sorted feature tuples, or None when absent."""
+    aw = planes.shape[2]
+    psz = planes.shape[1] * aw
+    pf = planes.reshape(-1)
+
+    def body(pf, xs):
+        sb, lb = xs
+        if featsS is not None:
+            d = _unpack_blob(sb, 2 * CLS_S[1] + 1 + 2 * CLS_S[0])
+            pf = _class_step(pf, resid, d, CLS_S[0], CLS_S[1], bpc, featsS,
+                             ss_hor, ss_ver, aw, psz)
+        if featsL is not None:
+            d = _unpack_blob(lb, 2 * CLS_L[1] + 1 + 2 * CLS_L[0])
+            pf = _class_step(pf, resid, d, CLS_L[0], CLS_L[1], bpc, featsL,
+                             ss_hor, ss_ver, aw, psz)
+        return pf, None
+
+    pf, _ = jax.lax.scan(body, pf, (sblob, lblob))
+    return pf.reshape(planes.shape)
