@@ -278,7 +278,9 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
     f.warp_jobs = []
     f.obmc_blends = []
     f.prep_jobs = []
-    f.comp_combines = []
+    f.comp_records = []
+    f.seg_masks_n = 0
+    f.seg_masks = {}
     f.prep_results = None
     fast = None
     recs = getattr(f, "_sy_rec", None)
@@ -303,9 +305,11 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
     f.warp_jobs = None
     _run_prep_jobs(f)
     f.prep_jobs = None
-    for fn in f.comp_combines:
-        fn()
-    f.comp_combines = None
+    from .inter import run_comp_record
+
+    for rec in f.comp_records:
+        run_comp_record(f, rec)
+    f.comp_records = None
     _run_obmc_blends(f)
     f.obmc_blends = None
     if fast is not None:

@@ -33,8 +33,49 @@ class _PrepHandle:
         self.idx = idx
 
 
+class _WarpPrepHandle:
+    """Placeholder for a deferred warp compound prep (the block's 8x8 warp
+    tiles are queued in f.warp_prep_jobs tagged with this handle's id)."""
+
+    __slots__ = ("idx", "h", "w")
+
+    def __init__(self, idx, h, w):
+        self.idx = idx
+        self.h = h
+        self.w = w
+
+
 def _resolve(x, f):
     return f.prep_results[x.idx] if isinstance(x, _PrepHandle) else x
+
+
+def run_comp_record(f, rec):
+    """Numpy interpreter for one compound-combine record (the immediate /
+    host execution of the typed records recon_b_inter emits; the device
+    engine translates the same records into batched kernels)."""
+    kind, pl, dy, dx, w, h, s0, s1, extra = rec
+    dst = _plane(f.cur, pl)
+    bpc = f.cur.bpc
+    a = _resolve(s0, f)
+    c = _resolve(s1, f)
+    if kind == "avg":
+        M.avg(dst, dy, dx, a, c, w, h, bpc)
+    elif kind == "wavg":
+        M.w_avg(dst, dy, dx, a, c, w, h, extra, bpc)
+    elif kind == "mask":
+        M.mask(dst, dy, dx, a, c, w, h, extra, bpc)
+    elif kind == "seg_y":
+        sign, sh_, sv_, seg_id = extra
+        msk = M.w_mask(dst, dy, dx, a, c, w, h, sign, sh_, sv_, bpc)
+        if not hasattr(f, "seg_masks"):
+            f.seg_masks = {}
+        f.seg_masks[seg_id] = msk
+    elif kind == "seg_uv":
+        # both chroma planes consume the same luma-produced mask
+        msk = f.seg_masks.get(extra)
+        if msk is not None and msk.shape != (h, w):
+            msk = msk.reshape(h, w)
+        M.mask(dst, dy, dx, a, c, w, h, msk, bpc)
 
 
 def mc(f, t, dst, dst_y, dst_x, bw4, bh4, bx, by, pl, mv, refp, refidx,
@@ -267,6 +308,7 @@ def warp_affine(f, t, dst, dst_y, dst_x, prep_out, b_dim, pl, refp, wmp):
     plane = _plane(refp, pl)
     bpc = f.cur.bpc
 
+    prep_handle = isinstance(prep_out, _WarpPrepHandle)
     for y in range(0, b_dim[1] * v_mul, 8):
         src_y = t.by * 4 + ((y + 4) << ss_ver)
         mat3_y = mat[3] * src_y + mat[0]
@@ -279,6 +321,12 @@ def warp_affine(f, t, dst, dst_y, dst_x, prep_out, b_dim, pl, refp, wmp):
             mx = ((mvx & 0xFFFF) - wmp.alpha * 4 - wmp.beta * 7) & ~0x3F
             dy = (mvy >> 16) - 4
             my = ((mvy & 0xFFFF) - wmp.gamma * 4 - wmp.delta * 4) & ~0x3F
+            if prep_handle:
+                f.warp_prep_jobs.append(
+                    (prep_out.idx, y, x, plane, dy, dx, abcd, mx, my,
+                     width, height)
+                )
+                continue
             if prep_out is None and getattr(f, "warp_jobs", None) is not None:
                 f.warp_jobs.append(
                     (dst, dst_y + y, dst_x + x, plane, dy, dx, abcd, mx, my,
@@ -438,14 +486,13 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None,
                     )
         elif b.comp_type != COMP_INTER_NONE:
             filter2d = b.filter2d
-            combines = getattr(f, "comp_combines", None)
-            holder = {}
+            records = getattr(f, "comp_records", None)
 
-            def emit(fn):
-                if combines is not None:
-                    combines.append(fn)
+            def emit(rec):
+                if records is not None:
+                    records.append(rec)
                 else:
-                    fn()
+                    run_comp_record(f, rec)
 
             def prep_one(i, pl, cw, ch):
                 refp = f.refp[b.ref[i]]
@@ -455,6 +502,14 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None,
                     and (pl == 0 or min(cbw4, cbh4) > 1)
                 )
                 if use_warp:
+                    wjobs = getattr(f, "warp_prep_jobs", None)
+                    if wjobs is not None:
+                        hnd = _WarpPrepHandle(len(wjobs), ch, cw)
+                        warp_affine(
+                            f, t, None, 0, 0, hnd, b_dim, pl, refp,
+                            frame_hdr.gmv[b.ref[i]],
+                        )
+                        return hnd
                     arr = np.zeros((ch, cw), dtype=np.int32)
                     warp_affine(
                         f, t, None, 0, 0, arr, b_dim, pl, refp,
@@ -471,63 +526,48 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None,
             t1 = prep_one(1, 0, bw4 * 4, bh4 * 4)
             jnt_weight = 0
             sign = b.mask_sign
+            seg_id = None
             if b.comp_type == COMP_INTER_AVG:
-                emit(lambda a=t0, c=t1: M.avg(
-                    ypl, dsty, dstx, _resolve(a, f), _resolve(c, f),
-                    bw4 * 4, bh4 * 4, bpc))
+                emit(("avg", 0, dsty, dstx, bw4 * 4, bh4 * 4, t0, t1, None))
             elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
                 jnt_weight = f.jnt_weights[b.ref[0]][b.ref[1]]
-                emit(lambda a=t0, c=t1, jw=jnt_weight: M.w_avg(
-                    ypl, dsty, dstx, _resolve(a, f), _resolve(c, f),
-                    bw4 * 4, bh4 * 4, jw, bpc))
+                emit(("wavg", 0, dsty, dstx, bw4 * 4, bh4 * 4, t0, t1,
+                      jnt_weight))
             elif b.comp_type == COMP_INTER_SEG:
                 ta, tb = (t1, t0) if sign else (t0, t1)
                 sh_ = ss_hor if chr_layout_idx else 0
                 sv_ = ss_ver if chr_layout_idx == 2 else 0
-                emit(lambda a=ta, c=tb: holder.__setitem__("msk", M.w_mask(
-                    ypl, dsty, dstx, _resolve(a, f), _resolve(c, f),
-                    bw4 * 4, bh4 * 4, sign, sh_, sv_, bpc)))
+                seg_id = getattr(f, "seg_masks_n", 0)
+                f.seg_masks_n = seg_id + 1
+                emit(("seg_y", 0, dsty, dstx, bw4 * 4, bh4 * 4, ta, tb,
+                      (sign, sh_, sv_, seg_id)))
             elif b.comp_type == COMP_INTER_WEDGE:
                 ta, tb = (t1, t0) if sign else (t0, t1)
                 wm = WEDGE_MASKS[bs][0][0][b.wedge_idx].reshape(bh4 * 4, bw4 * 4)
-                emit(lambda a=ta, c=tb: M.mask(
-                    ypl, dsty, dstx, _resolve(a, f), _resolve(c, f),
-                    bw4 * 4, bh4 * 4, wm, bpc))
-                if has_chroma:
-                    holder["msk"] = WEDGE_MASKS[bs][chr_layout_idx][sign][
-                        b.wedge_idx
-                    ].reshape((bh4 * 4) >> ss_ver, (bw4 * 4) >> ss_hor)
+                emit(("mask", 0, dsty, dstx, bw4 * 4, bh4 * 4, ta, tb, wm))
             if has_chroma:
                 cw_px = (bw4 * 4) >> ss_hor
                 ch_px = (bh4 * 4) >> ss_ver
                 for pl in range(2):
                     c0 = prep_one(0, 1 + pl, cw_px, ch_px)
                     c1 = prep_one(1, 1 + pl, cw_px, ch_px)
-                    uvdst = _plane(f.cur, 1 + pl)
                     if b.comp_type == COMP_INTER_AVG:
-                        emit(lambda a=c0, c=c1, d=uvdst: M.avg(
-                            d, cdsty, cdstx, _resolve(a, f), _resolve(c, f),
-                            cw_px, ch_px, bpc))
+                        emit(("avg", 1 + pl, cdsty, cdstx, cw_px, ch_px,
+                              c0, c1, None))
                     elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
-                        emit(lambda a=c0, c=c1, d=uvdst, jw=jnt_weight: M.w_avg(
-                            d, cdsty, cdstx, _resolve(a, f), _resolve(c, f),
-                            cw_px, ch_px, jw, bpc))
+                        emit(("wavg", 1 + pl, cdsty, cdstx, cw_px, ch_px,
+                              c0, c1, jnt_weight))
+                    elif b.comp_type == COMP_INTER_SEG:
+                        ca, cb = (c1, c0) if sign else (c0, c1)
+                        emit(("seg_uv", 1 + pl, cdsty, cdstx, cw_px, ch_px,
+                              ca, cb, seg_id))
                     else:
                         ca, cb = (c1, c0) if sign else (c0, c1)
-
-                        def _chroma_mask(a=ca, c=cb, d=uvdst):
-                            msk = holder["msk"]
-                            m2d = (
-                                msk
-                                if msk.shape == (ch_px, cw_px)
-                                else msk.reshape(ch_px, cw_px)
-                            )
-                            M.mask(
-                                d, cdsty, cdstx, _resolve(a, f), _resolve(c, f),
-                                cw_px, ch_px, m2d, bpc,
-                            )
-
-                        emit(_chroma_mask)
+                        wmc = WEDGE_MASKS[bs][chr_layout_idx][sign][
+                            b.wedge_idx
+                        ].reshape(ch_px, cw_px)
+                        emit(("mask", 1 + pl, cdsty, cdstx, cw_px, ch_px,
+                              ca, cb, wmc))
         else:
             refp = f.refp[b.ref[0]]
             filter2d = b.filter2d
