@@ -75,7 +75,7 @@ _CFL_MAP = {
 class FramePlan:
     __slots__ = (
         "items", "pal", "n_waves", "ah", "aw",
-        "wavefront_tx",
+        "wavefront_tx", "batch_tx", "inter", "ii_masks", "ii_off",
     )
 
     def __init__(self):
@@ -83,6 +83,10 @@ class FramePlan:
         self.pal = []    # (pl, y, x, pixels ndarray)
         self.n_waves = 0
         self.wavefront_tx = None
+        self.batch_tx = None   # txs applied by the fused batch residual add
+        self.inter = None      # InterJobs (engine/inter.py) for inter frames
+        self.ii_masks = []     # interintra blend masks (flat int32 chunks)
+        self.ii_off = 0
 
 
 class _Item:
@@ -90,7 +94,7 @@ class _Item:
         "pl", "x", "y", "w", "h", "mode", "angle", "tx", "coords",
         "z2_mw", "z2_mh", "z2_sm",
         "cfl_alpha", "cfl_ly", "cfl_lx", "cfl_wpad", "cfl_hpad",
-        "rd_top_x1", "rd_left_y1", "wave",
+        "rd_top_x1", "rd_left_y1", "wave", "iioff",
     )
 
     def __init__(self, pl, x, y, w, h, mode, angle, tx, coords):
@@ -114,6 +118,7 @@ class _Item:
         self.rd_top_x1 = -1  # read extents for the wave grid (-1: none)
         self.rd_left_y1 = -1
         self.wave = 0
+        self.iioff = -1      # interintra blend mask offset (-1: none)
 
 
 # wavefront size classes (engine/wave2.py executes one traced-size kernel
@@ -234,31 +239,37 @@ def build_plan(t, f):
     """Build the device plan for a frame, or None if the frame uses a
     feature the engine does not cover yet (host fallback)."""
     frame_hdr = f.frame_hdr
-    # engine coverage gate (widened per milestone)
-    if not frame_hdr.frame_type.is_key_or_intra:
-        return None
+    # engine coverage gates (remaining: intra block copy, scaled refs)
     if frame_hdr.allow_intrabc:
         return None
     store = f.coef_store
     if store.tx_pos and (store.txtp[: store.tx_pos] == WHT_WHT).any():
         return None
-    for wi in f.work_items:
-        if wi.kind != "intra":
-            return None
 
     plan = FramePlan()
     plan.ah, plan.aw = f.cur.y.shape
-    for wi in f.work_items:
-        t.bx, t.by = wi.bx, wi.by
-        cur = [wi.tx_pos]  # store cursor (mirror of store.pop)
-        if wi.pal is not None:
-            t.pal = wi.pal
-            t.pal_idx = wi.pal_idx
-        _plan_b_intra(plan, t, f, wi.ts, wi.bs, wi.intra_edge_flags, wi.b,
-                      wi, cur)
+
+    if frame_hdr.frame_type.is_key_or_intra:
+        for wi in f.work_items:
+            if wi.kind != "intra":
+                return None
+            t.bx, t.by = wi.bx, wi.by
+            cur = [wi.tx_pos]  # store cursor (mirror of store.pop)
+            if wi.pal is not None:
+                t.pal = wi.pal
+                t.pal_idx = wi.pal_idx
+            _plan_b_intra(plan, t, f, wi.ts, wi.bs, wi.intra_edge_flags,
+                          wi.b, wi, cur)
+        plan.wavefront_tx = np.arange(store.tx_pos)
+    else:
+        if any(f.svc[i][0]["scale"] for i in range(7)):
+            return None  # scaled references (svc): host fallback
+        from .inter import collect_inter
+
+        if not collect_inter(t, f, plan):
+            return None
 
     _assign_waves(plan, f)
-    plan.wavefront_tx = np.arange(store.tx_pos)
     return plan
 
 
@@ -303,6 +314,12 @@ def _assign_waves(plan, f):
             lw = (it.w << (1 if f.cur.layout != PixelLayout.I444 else 0)) >> 2
             w = max(w, int(grid[0, ly : ly + max(lh, 1),
                                 lx : lx + max(lw, 1)].max(initial=0)))
+        if it.mode == MODE_IDENT or it.iioff >= 0:
+            # own-pixel readers (palette/interintra residual adds, ii
+            # blends) must run after any earlier wave item that wrote
+            # their own rect (e.g. the ii blend before its residual)
+            w = max(w, int(grid[it.pl, cy : cy + ch, cx : cx + cw]
+                           .max(initial=0)))
         cls = item_class(it.w, it.h)
         cnt = counts[cls]
         cap = CAP[cls]

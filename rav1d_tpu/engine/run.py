@@ -115,6 +115,7 @@ def _pack_class(items, NW, B, EL, psz):
     blob[:, :, fi["flat0"]] = 3 * psz  # padded lanes scatter out of bounds
     blob[:, :, fi["w"]] = 4
     blob[:, :, fi["h"]] = 4
+    blob[:, :, fi["iioff"]] = -1
     fill = np.zeros(NW, np.int32)
     feats = set()
     for it, aw in items:
@@ -132,6 +133,9 @@ def _pack_class(items, NW, B, EL, psz):
         row[fi["z2sm"]] = it.z2_sm
         row[fi["w"]] = it.w
         row[fi["h"]] = it.h
+        row[fi["iioff"]] = it.iioff
+        if it.iioff >= 0:
+            feats.add("ii")
         if it.mode in (6, 7, 8):
             feats.add("z")
         elif it.mode == 13:
@@ -147,6 +151,58 @@ def _pack_class(items, NW, B, EL, psz):
     return blob, feats
 
 
+def _scatter_resid_groups(residf, store, sel, cfbuf, psz, aw, bpc):
+    """Batched itx per (w, h, txtp) straight from the coefficient store
+    (rav1d pass-2 read_coef replay, batched); groups gather their indices
+    from one packed upload."""
+    sel = sel[store.eob[sel] >= 0]
+    if not sel.size:
+        return residf
+    ws = store.txw[sel].astype(np.int64)
+    hs = store.txh[sel].astype(np.int64)
+    tps = store.txtp[sel].astype(np.int64)
+    key = (ws * 2048 + hs) * 32 + tps
+    uniq, inv = np.unique(key, return_inverse=True)
+    groups = []
+    chunks = []
+    pos = 0
+    for g in range(len(uniq)):
+        gsel = sel[inv == g]
+        n = len(gsel)
+        npad = _pow2(n)
+        offs = np.zeros(npad, np.int32)
+        offs[:n] = store.cf_off[gsel]
+        flat0 = np.full(npad, 3 * psz, np.int32)
+        flat0[:n] = (
+            store.txpl[gsel].astype(np.int64) * psz
+            + store.txy[gsel].astype(np.int64) * aw
+            + store.txx[gsel]
+        )
+        chunks.append(offs)
+        chunks.append(flat0)
+        groups.append(
+            (int(store.txw[gsel[0]]), int(store.txh[gsel[0]]),
+             int(store.txtp[gsel[0]]), pos, npad)
+        )
+        pos += 2 * npad
+    idxbuf = jnp.asarray(np.concatenate(chunks))
+    for w, h, txtp, pos, npad in groups:
+        residf = _resid_scatter(
+            residf, cfbuf, idxbuf[pos : pos + npad],
+            idxbuf[pos + npad : pos + 2 * npad],
+            w, h, txtp, bpc, aw,
+        )
+    return residf
+
+
+@partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+def _resid_add(planes, residb, bpc):
+    """Fused whole-plane residual add for batch-phase blocks (regions
+    without residuals hold zeros; clip is then the identity)."""
+    r = residb.reshape(planes.shape)
+    return jnp.clip(planes + r, 0, (1 << bpc) - 1)
+
+
 def execute(f, plan):
     from ..headers import PixelLayout
 
@@ -160,51 +216,27 @@ def execute(f, plan):
     planes = jnp.zeros((3, ah, aw), jnp.int32)
     residf = jnp.zeros(3 * psz, jnp.int32)
 
-    # --- residual phase: batched itx per (w, h, txtp) straight from the
-    # coefficient store (rav1d pass-2 read_coef replay, batched); the cf
-    # buffer uploads once, groups gather from it on device ---
     store = f.coef_store
-    sel = plan.wavefront_tx
-    if sel.size:
-        sel = sel[store.eob[sel] >= 0]
-    if sel.size:
+    cfbuf = None
+    if store.tx_pos:
         cfbuf = jnp.asarray(store.cf[: store.cf_pos])
-        ws = store.txw[sel].astype(np.int64)
-        hs = store.txh[sel].astype(np.int64)
-        tps = store.txtp[sel].astype(np.int64)
-        key = (ws * 2048 + hs) * 32 + tps
-        uniq, inv = np.unique(key, return_inverse=True)
-        # pack every group's (offs, flat0) into one upload; groups slice it
-        # on device (per-transfer latency >> bandwidth on the tunnel)
-        groups = []
-        chunks = []
-        pos = 0
-        for g in range(len(uniq)):
-            gsel = sel[inv == g]
-            n = len(gsel)
-            npad = _pow2(n)
-            offs = np.zeros(npad, np.int32)
-            offs[:n] = store.cf_off[gsel]
-            flat0 = np.full(npad, 3 * psz, np.int32)
-            flat0[:n] = (
-                store.txpl[gsel].astype(np.int64) * psz
-                + store.txy[gsel].astype(np.int64) * aw
-                + store.txx[gsel]
+    if plan.wavefront_tx is not None and plan.wavefront_tx.size:
+        residf = _scatter_resid_groups(
+            residf, store, plan.wavefront_tx, cfbuf, psz, aw, bpc
+        )
+
+    # --- inter batch phase: MC/warp/compound/OBMC into the planes, then
+    # the fused batch residual add (engine/inter.py) ---
+    if plan.inter is not None:
+        from .inter import exec_inter
+
+        planes = exec_inter(f, plan, planes)
+        if plan.batch_tx is not None and plan.batch_tx.size:
+            residb = jnp.zeros(3 * psz, jnp.int32)
+            residb = _scatter_resid_groups(
+                residb, store, plan.batch_tx, cfbuf, psz, aw, bpc
             )
-            chunks.append(offs)
-            chunks.append(flat0)
-            groups.append(
-                (int(store.txw[gsel[0]]), int(store.txh[gsel[0]]),
-                 int(store.txtp[gsel[0]]), pos, npad)
-            )
-            pos += 2 * npad
-        idxbuf = jnp.asarray(np.concatenate(chunks))
-        for w, h, txtp, pos, npad in groups:
-            residf = _resid_scatter(
-                residf, cfbuf, idxbuf[pos : pos + npad],
-                idxbuf[pos + npad : pos + 2 * npad],
-                w, h, txtp, bpc, aw,
-            )
+            planes = _resid_add(planes, residb, bpc)
 
     # --- palette scatter (entropy-determined pixels; pre-wavefront),
     # batched per block shape ---
@@ -251,8 +283,15 @@ def execute(f, plan):
         featsL = tuple(sorted(sticky))
         ldesc = jnp.asarray(blob)
     if featsS is not None or featsL is not None:
+        if plan.ii_masks:
+            mflat = np.concatenate(plan.ii_masks)
+            mbuf = np.zeros(_pow2(mflat.size, lo=64), np.int32)
+            mbuf[: mflat.size] = mflat
+            maskbuf = jnp.asarray(mbuf)
+        else:
+            maskbuf = jnp.zeros(1, jnp.int32)
         planes = wave_scan(
-            planes, residf, sdesc, ldesc, bpc=bpc,
+            planes, residf, sdesc, ldesc, maskbuf, bpc=bpc,
             ss_hor=ss_hor, ss_ver=ss_ver, featsS=featsS, featsL=featsL,
         )
 

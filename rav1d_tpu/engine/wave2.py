@@ -71,7 +71,8 @@ _CFL_DC_FNS = {
 }
 
 
-def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz):
+def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz,
+                maskbuf=None):
     C = 2 * CH
     w = d["w"]
     h = d["h"]
@@ -126,6 +127,18 @@ def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz):
             pred = D.cfl_pred_dyn(dc, ac, d["cfla"], bpc)
             out = jnp.where(m3 == code, pred, out)
 
+    if "ii" in feats:
+        # interintra: blend the intra prediction over the block's inter
+        # pixels by the mask table (recon.rs recon_b_inter interintra)
+        own = pf[jnp.clip(idx, 0, pf.shape[0] - 1)]
+        moff = d["iioff"]
+        dyl = jnp.arange(CH)[None, :, None]
+        dxl = jnp.arange(CW)[None, None, :]
+        midx = moff[:, None, None] + dyl * w[:, None, None] + dxl
+        m = maskbuf[jnp.clip(midx, 0, maskbuf.shape[0] - 1)]
+        blended = (own * (64 - m) + out * m + 32) >> 6
+        out = jnp.where((moff >= 0)[:, None, None], blended, out)
+
     res = resid[jnp.clip(idx, 0, resid.shape[0] - 1)]
     out = jnp.where(
         d["rmask"][:, None, None], jnp.clip(out + res, 0, pxmax), out
@@ -141,7 +154,7 @@ def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz):
 # a single upload per class per frame (the tunnel's per-transfer latency
 # dwarfs bandwidth, so N small uploads lose badly to 1 packed one)
 FIELDS = ("modes", "angles", "flat0", "rmask", "z2mw", "z2mh", "z2sm",
-          "cfla", "cfl0", "cflwp", "cflhp", "w", "h")
+          "cfla", "cfl0", "cflwp", "cflhp", "w", "h", "iioff")
 N_FIELDS = len(FIELDS)
 
 
@@ -158,11 +171,12 @@ def _unpack_blob(blob, EL):
     static_argnames=("bpc", "ss_hor", "ss_ver", "featsS", "featsL"),
     donate_argnames=("planes",),
 )
-def wave_scan(planes, resid, sblob, lblob, *, bpc, ss_hor, ss_ver,
-              featsS, featsL):
+def wave_scan(planes, resid, sblob, lblob, maskbuf=None, *, bpc, ss_hor,
+              ss_ver, featsS, featsL):
     """planes (3, ah, aw) int32 (donated); resid (3*ah*aw,) int32;
     sblob/lblob: (NW, B, EL+N_FIELDS) int32 packed wave descriptors (or
-    None); featsS/featsL: sorted feature tuples, or None when absent."""
+    None); maskbuf: flat interintra mask table (or None);
+    featsS/featsL: sorted feature tuples, or None when absent."""
     aw = planes.shape[2]
     psz = planes.shape[1] * aw
     pf = planes.reshape(-1)
@@ -172,11 +186,11 @@ def wave_scan(planes, resid, sblob, lblob, *, bpc, ss_hor, ss_ver,
         if featsS is not None:
             d = _unpack_blob(sb, 2 * CLS_S[1] + 1 + 2 * CLS_S[0])
             pf = _class_step(pf, resid, d, CLS_S[0], CLS_S[1], bpc, featsS,
-                             ss_hor, ss_ver, aw, psz)
+                             ss_hor, ss_ver, aw, psz, maskbuf)
         if featsL is not None:
             d = _unpack_blob(lb, 2 * CLS_L[1] + 1 + 2 * CLS_L[0])
             pf = _class_step(pf, resid, d, CLS_L[0], CLS_L[1], bpc, featsL,
-                             ss_hor, ss_ver, aw, psz)
+                             ss_hor, ss_ver, aw, psz, maskbuf)
         return pf, None
 
     pf, _ = jax.lax.scan(body, pf, (sblob, lblob))

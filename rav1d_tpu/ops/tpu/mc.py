@@ -131,6 +131,37 @@ def warp_8x8_batch(src, sys_, sxs, abcds, mxs, mys, vis_w, vis_h, bpc):
     return jnp.clip((v + ((1 << sh) >> 1)) >> sh, 0, pxmax)
 
 
+@partial(jax.jit, static_argnums=(8,))
+def warp_8x8t_batch(src, sys_, sxs, abcds, mxs, mys, vis_w, vis_h, bpc):
+    """Batched 8x8 warp prep tiles (compound intermediates; mc.rs
+    warp_affine_8x8t_rust semantics: prep rounding, i16 wrap, no clip)."""
+    F = _warp_filters()
+    ib = intermediate_bits(bpc)
+
+    rows = jnp.clip(sys_[:, None] - 3 + jnp.arange(15)[None, :], 0, vis_h - 1)
+    cols = jnp.clip(sxs[:, None] - 3 + jnp.arange(15)[None, :], 0, vis_w - 1)
+    region = src[rows[:, :, None], cols[:, None, :]].astype(jnp.int32)
+
+    ys = jnp.arange(15)[None, :, None]
+    xs = jnp.arange(8)[None, None, :]
+    tmx = mxs[:, None, None] + ys * abcds[:, 1, None, None] + xs * abcds[:, 0, None, None]
+    taps = F[64 + ((tmx + 512) >> 10)]
+    sh = 7 - ib
+    mid = jnp.zeros(region.shape[:2] + (8,), jnp.int32)
+    for k in range(8):
+        mid = mid + taps[:, :, :, k] * region[:, :, k : k + 8]
+    mid = _i16((mid + ((1 << sh) >> 1)) >> sh)
+
+    ys8 = jnp.arange(8)[None, :, None]
+    tmy = mys[:, None, None] + ys8 * abcds[:, 3, None, None] + xs * abcds[:, 2, None, None]
+    vtaps = F[64 + ((tmy + 512) >> 10)]
+    v = jnp.zeros((region.shape[0], 8, 8), jnp.int32)
+    for k in range(8):
+        v = v + vtaps[:, :, :, k] * mid[:, k : k + 8, :]
+    bias = 0 if bpc == 8 else 8192
+    return _i16(((v + 64) >> 7) - bias)
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 9))
 def prep_8tap_batch(src, sys_, sxs, w, h, has_h, has_v, vis_w, vis_h, bpc,
                     mxs=None, mys=None, f2ds=None):

@@ -275,6 +275,7 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
     # refs, interintra) still replay per block.
     f.itx_jobs = []
     f.mc_jobs = []
+    f.bilin_jobs = []
     f.warp_jobs = []
     f.obmc_blends = []
     f.prep_jobs = []
@@ -301,6 +302,8 @@ def run_dense_pass(t, f, tile_states, sbrow_marks, cols):
         _emit_fast_mc(f, recs[: len(items)], fast)
     _run_mc_jobs(f)
     f.mc_jobs = None
+    _run_bilin_jobs(f)
+    f.bilin_jobs = None
     _run_warp_jobs(f)
     f.warp_jobs = None
     _run_prep_jobs(f)
@@ -408,6 +411,32 @@ def _run_mc_jobs(f):
         )
         for k, j in enumerate(jobs):
             j[0][j[1] : j[1] + h, j[2] : j[2] + w] = out[k].astype(j[0].dtype)
+
+
+def _run_bilin_jobs(f):
+    """Execute deferred bilinear puts (rare: b.filter2d == BILINEAR); per
+    job, with the same emu-edge branch as the inline path (recon/inter.mc)."""
+    from ..ops.ref import mc as M
+
+    bpc = f.cur.bpc
+    for dst, dst_y, dst_x, plane, dy, dx, w_px, h_px, fmx, fmy, f2d, vw, vh \
+            in f.bilin_jobs:
+        mx3 = 3 if fmx else 0
+        my3 = 3 if fmy else 0
+        if (
+            dx < mx3
+            or dy < my3
+            or dx + w_px + (4 if fmx else 0) > vw
+            or dy + h_px + (4 if fmy else 0) > vh
+        ):
+            src = M.emu_edge(
+                w_px + (7 if fmx else 0), h_px + (7 if fmy else 0),
+                vw, vh, dx - mx3, dy - my3, plane,
+            )
+            sy, sx = my3, mx3
+        else:
+            src, sy, sx = plane, dy, dx
+        M.put_bilin(dst, dst_y, dst_x, src, sy, sx, w_px, h_px, fmx, fmy, bpc)
 
 
 def _run_prep_jobs(f):

@@ -119,20 +119,18 @@ def mc(f, t, dst, dst_y, dst_x, bw4, bh4, bx, by, pl, mv, refp, refidx,
                  my << (0 if ss_ver else 1), filter2d, w, h)
             )
             return _PrepHandle(len(f.prep_jobs) - 1)
-        if (
-            defer_ok
-            and not prep
-            and filter2d != FILTER_2D_BILINEAR
-            and getattr(f, "mc_jobs", None) is not None
-        ):
+        if defer_ok and not prep and getattr(f, "mc_jobs", None) is not None:
             # the batched executor's clamped gather reproduces emu_edge's
             # border replication, so out-of-bounds puts defer too
-            f.mc_jobs.append(
-                (dst, dst_y, dst_x, plane, dy, dx, bw_px, bh_px,
-                 mx << (0 if ss_hor else 1), my << (0 if ss_ver else 1),
-                 filter2d, w, h)
-            )
-            return None
+            job = (dst, dst_y, dst_x, plane, dy, dx, bw_px, bh_px,
+                   mx << (0 if ss_hor else 1), my << (0 if ss_ver else 1),
+                   filter2d, w, h)
+            if filter2d != FILTER_2D_BILINEAR:
+                f.mc_jobs.append(job)
+                return None
+            if getattr(f, "bilin_jobs", None) is not None:
+                f.bilin_jobs.append(job)
+                return None
         if (
             dx < mx3
             or dy < my3
@@ -502,9 +500,10 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None,
                     and (pl == 0 or min(cbw4, cbh4) > 1)
                 )
                 if use_warp:
-                    wjobs = getattr(f, "warp_prep_jobs", None)
-                    if wjobs is not None:
-                        hnd = _WarpPrepHandle(len(wjobs), ch, cw)
+                    if getattr(f, "warp_prep_jobs", None) is not None:
+                        hl = f.warp_prep_handles
+                        hnd = _WarpPrepHandle(len(hl), ch, cw)
+                        hl.append(hnd)
                         warp_affine(
                             f, t, None, 0, 0, hnd, b_dim, pl, refp,
                             frame_hdr.gmv[b.ref[i]],
@@ -584,11 +583,14 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None,
                 mc(
                     f, t, ypl, dsty, dstx, bw4, bh4, t.bx, t.by, 0,
                     tuple(b.mv[0]), refp, b.ref[0], filter2d,
-                    defer_ok=b.motion_mode != MM_OBMC,
+                    defer_ok=b.motion_mode != MM_OBMC
+                    or getattr(f, "engine_collect", False),
                 )
                 if b.motion_mode == MM_OBMC:
                     obmc(f, t, ts, ypl, dsty, dstx, b_dim, 0, bx4, by4, w4, h4, item)
-            if b.interintra_type != INTER_INTRA_NONE:
+            if b.interintra_type != INTER_INTRA_NONE and not getattr(
+                f, "engine_collect", False
+            ):
                 m = SMOOTH_PRED if b.interintra_mode == 3 else b.interintra_mode
                 top_sb_edge = None
                 if (t.by & (f.sb_step - 1)) == 0:
@@ -634,7 +636,7 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None,
                                 bw4, bh4, t.bx - 1, t.by - 1, 1 + pl,
                                 (int(r["mv"][0][0]), int(r["mv"][0][1])),
                                 f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
-                                t.tl_4x4_filter,
+                                t.tl_4x4_filter, defer_ok=True,
                             )
                         v_off = 2
                         h_off = 2
@@ -650,7 +652,7 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None,
                                 bw4, bh4, t.bx - 1, t.by, 1 + pl,
                                 (int(r["mv"][0][0]), int(r["mv"][0][1])),
                                 f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
-                                left_f2d,
+                                left_f2d, defer_ok=True,
                             )
                         h_off = 2
                     if bh4 == ss_ver:
@@ -665,7 +667,7 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None,
                                 bw4, bh4, t.bx, t.by - 1, 1 + pl,
                                 (int(r["mv"][0][0]), int(r["mv"][0][1])),
                                 f.refp[int(r["ref"][0]) - 1], int(r["ref"][0]) - 1,
-                                top_f2d,
+                                top_f2d, defer_ok=True,
                             )
                         v_off = 2
                     for pl in range(2):
@@ -673,6 +675,7 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None,
                             f, t, _plane(f.cur, 1 + pl), cdsty + v_off, cdstx + h_off,
                             bw4, bh4, t.bx, t.by, 1 + pl,
                             tuple(b.mv[0]), refp, b.ref[0], filter2d,
+                            defer_ok=True,
                         )
                 else:
                     if min(cbw4, cbh4) > 1 and (
@@ -700,14 +703,17 @@ def recon_b_inter(t, f, ts, bs, b, phase="both", item=None,
                                 bh4 << (1 if bh4 == ss_ver else 0),
                                 t.bx & ~ss_hor, t.by & ~ss_ver, 1 + pl,
                                 tuple(b.mv[0]), refp, b.ref[0], filter2d,
-                                defer_ok=b.motion_mode != MM_OBMC,
+                                defer_ok=b.motion_mode != MM_OBMC
+                                or getattr(f, "engine_collect", False),
                             )
                             if b.motion_mode == MM_OBMC:
                                 obmc(
                                     f, t, ts, _plane(f.cur, 1 + pl), cdsty, cdstx,
                                     b_dim, 1 + pl, bx4, by4, w4, h4, item,
                                 )
-                    if b.interintra_type != INTER_INTRA_NONE:
+                    if b.interintra_type != INTER_INTRA_NONE and not getattr(
+                        f, "engine_collect", False
+                    ):
                         if b.interintra_type == INTER_INTRA_BLEND:
                             ii_mask = II_MASKS[bs][chr_layout_idx][b.interintra_mode]
                         else:
