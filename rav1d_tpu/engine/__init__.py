@@ -13,7 +13,8 @@ the *pixel dependencies* of intra prediction are honored by a host-computed
 wave schedule (see plan.py).
 
 Gate: RAV1D_ENGINE=jax forces the engine, RAV1D_ENGINE=np forces the numpy
-path; by default the engine runs when jax's default backend is a TPU.
+path, RAV1D_ENGINE=auto (the default) runs the engine when jax's default
+backend is a TPU.
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ _FORCED = None
 
 def enabled() -> bool:
     global _FORCED
-    mode = os.environ.get("RAV1D_ENGINE", "")
+    mode = os.environ.get("RAV1D_ENGINE", "auto")
     if mode == "np":
         return False
     if mode == "jax":

@@ -1,54 +1,21 @@
-"""Engine-vs-oracle MD5 checker: decode vectors twice (numpy path and the
-device engine) and compare output MD5s. Runs on the CPU backend by default
-so it can be used for fast correctness iteration without the TPU tunnel.
+"""Engine-vs-numpy parity checker: decode vectors twice (numpy replay path
+and the device engine) and compare output MD5s. The reference here is the
+in-repo numpy path — which itself is held to the meson MD5 oracle by
+tools_py/sweep.py — so this tool isolates engine-only regressions; a bug
+shared with the syntax pass would not be caught here (run sweep.py for
+that). Runs on the CPU backend by default so it can be used for fast
+correctness iteration without the TPU tunnel.
 
 Usage: python tools_py/engine_check.py VEC [VEC...] [--limit N] [--tpu]
 """
 
 import argparse
-import hashlib
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TEST_DATA = "/root/reference/tests/dav1d-test-data"
-
-
-def decode_md5(path, engine, limit=0):
-    os.environ["RAV1D_ENGINE"] = "jax" if engine else "np"
-    try:
-        from rav1d_tpu.decoder import Decoder, EAgain, Settings
-        from rav1d_tpu.io.ivf import IvfDemuxer
-
-        dec = Decoder(Settings())
-        md5 = hashlib.md5()
-        n = 0
-
-        def write(pic):
-            nonlocal n
-            for chunk in pic.iter_plane_rows():
-                md5.update(chunk)
-            n += 1
-
-        for pkt in IvfDemuxer(path):
-            dec.send_data(pkt.data, pkt.timestamp)
-            while True:
-                try:
-                    write(dec.get_picture())
-                except EAgain:
-                    break
-            if limit and n >= limit:
-                break
-        if not limit or n < limit:
-            while True:
-                try:
-                    write(dec.get_picture())
-                except EAgain:
-                    break
-        return md5.hexdigest(), n
-    finally:
-        os.environ.pop("RAV1D_ENGINE", None)
 
 
 def main():
@@ -62,6 +29,8 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    from rav1d_tpu.testing import decode_md5
 
     fails = 0
     for vec in args.vectors:
