@@ -237,6 +237,7 @@ class Decoder:
     def _apply_grain(self, pic: Picture) -> Picture:
         from .recon import fg_apply
 
+        pic.materialize()
         return fg_apply.apply_grain(pic)
 
     # -- show_existing_frame path ------------------------------------------

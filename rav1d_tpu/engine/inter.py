@@ -237,487 +237,458 @@ def _emit_ii_items(plan, t, f, wi, tx_end):
 
 
 # ---------------------------------------------------------------------------
-# device executors
+# device planning / execution (engine v2: tiled, fixed-key — engine/tiles.py)
 # ---------------------------------------------------------------------------
 
 
-def _grid_idx(flat0, h, w, aw):
-    return (
-        flat0[:, None, None]
-        + jnp.arange(h)[None, :, None] * aw
-        + jnp.arange(w)[None, None, :]
+def dev_plane(pic, pl):
+    """Device twin of a completed picture's plane (cached; ref pictures are
+    immutable once in the ref slots — src/decode.rs:5002 transactional
+    update)."""
+    cache = getattr(pic, "_dev_planes", None)
+    if cache is None:
+        cache = pic._dev_planes = {}
+    if pl not in cache:
+        cache[pl] = jnp.asarray((pic.y, pic.u, pic.v)[pl])
+    return cache[pl]
+
+
+class _InterDevPlan:
+    __slots__ = (
+        "srcsY", "srcsC", "put_groups", "warp_groups", "prep_groups",
+        "wprep_groups", "pool_rows", "host_pool", "comb_avg", "comb_mask",
+        "comb_segy", "comb_seguv", "blends", "hmask", "maskpool_size",
+        "lap_rows", "nlap",
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
-         donate_argnums=(0,))
-def _put8_group(pf, src, d, w, h, hh, hv, vw, vh, bpc, aw):
-    """d: (6, N) = [sys, sxs, mxs, mys, f2ds, flat0]."""
-    out = K.mc_8tap_batch(src, d[0], d[1], w, h, hh, hv, vw, vh, bpc,
-                          mxs=d[2], mys=d[3], f2ds=d[4])
-    return pf.at[_grid_idx(d[5], h, w, aw)].set(out, mode="drop")
+def _pad_desc(cols, nrows):
+    """Stack per-tile descriptor columns into (nrows, ceil(n/TB)*TB)."""
+    from .tiles import TB
+
+    n = len(cols)
+    npad = ((n + TB - 1) // TB) * TB if n else 0
+    d = np.zeros((nrows, npad), np.int32)
+    if n:
+        a = np.asarray(cols, np.int32).T
+        d[:, :n] = a
+    # padded lanes: scatter targets drop via tw/th = 0
+    return d
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8), donate_argnums=(0,))
-def _bilin_group(pf, src, d, w, h, vw, vh, bpc, aw):
-    out = K.bilin_batch(src, d[0], d[1], w, h, False, vw, vh, bpc,
-                        mxs=d[2], mys=d[3])
-    return pf.at[_grid_idx(d[5], h, w, aw)].set(out, mode="drop")
+def plan_inter_device(f, plan, blob):
+    """Translate the collected job lists into tiled descriptor groups inside
+    the frame blob. All geometry becomes data; see engine/tiles.py."""
+    from .tiles import TB  # noqa: F401  (chunk size shared with exec)
 
-
-@partial(jax.jit, static_argnums=(3, 4, 5, 6), donate_argnums=(0,))
-def _warp_put_group(pf, src, d, vw, vh, bpc, aw):
-    """d: (9, N) = [sys, sxs, a, b, c, dlt, mxs, mys, flat0]."""
-    abcds = jnp.stack([d[2], d[3], d[4], d[5]], axis=1)
-    out = K.warp_8x8_batch(src, d[0], d[1], abcds, d[6], d[7], vw, vh, bpc)
-    return pf.at[_grid_idx(d[8], 8, 8, aw)].set(out, mode="drop")
-
-
-@partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0,))
-def _warp_prep_group(poolf, src, d, vw, vh, bpc, pw):
-    """d: (9, N) = [sys, sxs, a, b, c, dlt, mxs, mys, pool_flat0];
-    poolf: flattened (Nh*h*w,) prep pool; pw = pool row width."""
-    abcds = jnp.stack([d[2], d[3], d[4], d[5]], axis=1)
-    out = K.warp_8x8t_batch(src, d[0], d[1], abcds, d[6], d[7], vw, vh, bpc)
-    idx = (
-        d[8][:, None, None]
-        + jnp.arange(8)[None, :, None] * pw
-        + jnp.arange(8)[None, None, :]
-    )
-    return poolf.at[idx].set(out, mode="drop")
-
-
-@partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(0,))
-def _avg_group(pf, pool, r0r1f, weights, w, h, bpc, aw):
-    t1 = pool[r0r1f[0]]
-    t2 = pool[r0r1f[1]]
-    out = K.w_avg_batch(t1, t2, weights, bpc)
-    return pf.at[_grid_idx(r0r1f[2], h, w, aw)].set(out, mode="drop")
-
-
-@partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(0,))
-def _mask_group(pf, pool, r0r1f, masks, w, h, bpc, aw):
-    t1 = pool[r0r1f[0]]
-    t2 = pool[r0r1f[1]]
-    out = K.mask_batch(t1, t2, masks, bpc)
-    return pf.at[_grid_idx(r0r1f[2], h, w, aw)].set(out, mode="drop")
-
-
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8), donate_argnums=(0,))
-def _seg_y_group(pf, pool, r0r1fs, w, h, ssh, ssv, bpc, aw):
-    """r0r1fs: (4, N) = [r0, r1, flat0, signs]. Returns (pf, msk)."""
-    t1 = pool[r0r1fs[0]]
-    t2 = pool[r0r1fs[1]]
-    out, msk = K.w_mask_batch(t1, t2, r0r1fs[3], ssh, ssv, bpc)
-    pf = pf.at[_grid_idx(r0r1fs[2], h, w, aw)].set(out, mode="drop")
-    return pf, msk
-
-
-@partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(0,))
-def _seg_uv_group(pf, pool, mskstack, d, w, h, bpc, aw):
-    """d: (4, N) = [r0, r1, flat0, mskrow]."""
-    t1 = pool[d[0]]
-    t2 = pool[d[1]]
-    out = K.mask_batch(t1, t2, mskstack[d[3]], bpc)
-    return pf.at[_grid_idx(d[2], h, w, aw)].set(out, mode="drop")
-
-
-@partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(0,))
-def _blend_h_group(pf, laps, rows, flat0, w, h, aw):
-    from ..tables.spec_data import OBMC_MASKS
-
-    vh = (h * 3) >> 2
-    m = jnp.concatenate([
-        jnp.asarray(np.asarray(OBMC_MASKS), jnp.int32)[h : h + vh],
-        jnp.zeros(h - vh, jnp.int32),
-    ])[None, :, None]
-    b = laps[rows][:, :, :w]
-    b = (jnp.pad(b, ((0, 0), (0, h - b.shape[1]), (0, 0)))
-         if b.shape[1] < h else b[:, :h])
-    idx = _grid_idx(flat0, h, w, aw)
-    a = pf[jnp.clip(idx, 0, pf.shape[0] - 1)]
-    out = (a * (64 - m) + b * m + 32) >> 6
-    return pf.at[idx].set(out, mode="drop")
-
-
-@partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(0,))
-def _blend_v_group(pf, laps, rows, flat0, w, h, aw):
-    from ..tables.spec_data import OBMC_MASKS
-
-    vw = (w * 3) >> 2
-    m = jnp.concatenate([
-        jnp.asarray(np.asarray(OBMC_MASKS), jnp.int32)[w : w + vw],
-        jnp.zeros(w - vw, jnp.int32),
-    ])[None, None, :]
-    b = laps[rows][:, :h, :]
-    b = (jnp.pad(b, ((0, 0), (0, 0), (0, w - b.shape[2])))
-         if b.shape[2] < w else b[:, :, :w])
-    idx = _grid_idx(flat0, h, w, aw)
-    a = pf[jnp.clip(idx, 0, pf.shape[0] - 1)]
-    out = (a * (64 - m) + b * m + 32) >> 6
-    return pf.at[idx].set(out, mode="drop")
-
-
-def _pow2(n, lo=4):
-    p = lo
-    while p < n:
-        p <<= 1
-    return p
-
-
-def exec_inter(f, plan, planes):
-    """Run the frame's collected inter jobs on device; returns planes."""
     jobs = plan.inter
-    aw = plan.aw
-    psz = plan.ah * plan.aw
-    bpc = f.cur.bpc
-    OOB = 3 * psz
-    pf = planes.reshape(-1)
+    ip = _InterDevPlan()
+    ah, aw = plan.ah, plan.aw
+    psz = ah * aw
+    BIG = np.int32(2**31 - 1)
+
+    # --- source stacks ---
+    srcsY = []   # [(pic, pl)]
+    srcsC = []
+    srcrow = {}  # id(host plane) -> (kind, row)
+
+    def src_of(plane):
+        key = id(plane)
+        if key not in srcrow:
+            pic, pl = _src_pics[key]
+            if pl == 0:
+                srcrow[key] = (0, len(srcsY))
+                srcsY.append((pic, pl))
+            else:
+                srcrow[key] = (1, len(srcsC))
+                srcsC.append((pic, pl))
+        return srcrow[key]
+
+    _src_pics = {}
+    for refp in f.refp:
+        if refp is None:
+            continue
+        for pl, arr in enumerate((refp.y, refp.u, refp.v)):
+            if arr is not None and id(arr) not in _src_pics:
+                _src_pics[id(arr)] = (refp, pl)
 
     dstmap = {id(f.cur.y): 0}
     if f.cur.u is not None:
         dstmap[id(f.cur.u)] = 1
         dstmap[id(f.cur.v)] = 2
-    srcdev = {}
-    for i, refp in enumerate(f.refp):
-        if refp is None:
-            continue
-        for pl, arr in enumerate((refp.y, refp.u, refp.v)):
-            if arr is not None and id(arr) not in srcdev:
-                srcdev[id(arr)] = (refp, pl)
 
-    def get_src(plane):
-        pic, pl = srcdev[id(plane)]
-        return dev_plane(pic, pl)
-
-    blob = IdxBlob()
-
-    # ---- lap registry (OBMC): lap arrays become pool rows per shape ----
-    lap_rows = {}   # id(lap) -> (shape, row)
-    lap_counts = {}
+    # --- lap pool rows (OBMC lap buffers, 8x8-tiled) ---
+    lap_rows = {}
+    nlap = 0
     for kind, dst, dy, dx, lap, w, h in jobs.blends:
-        shp = lap.shape
-        row = lap_counts.get(shp, 0)
-        lap_counts[shp] = row + 1
-        lap_rows[id(lap)] = (shp, row)
+        if id(lap) not in lap_rows:
+            lh, lw = lap.shape
+            ntx = (lw + 7) >> 3
+            nty = (lh + 7) >> 3
+            lap_rows[id(lap)] = (nlap, ntx, nty, lw, lh)
+            nlap += ntx * nty
+    ip.lap_rows = lap_rows
 
-    # ---- group put jobs (plane dst -> scatter; lap dst -> pool write) ----
-    put_groups = {}
-    lap_put = {}
+    # --- put tiles (plane and lap destinations; 8-tap and bilin) ---
+    put_groups = {}  # (bilin, kind, hh, hv, is_lap) -> list of tile cols
 
     def add_put(job, bilin):
         dst, dsty, dstx, plane, dy, dx, w, h, fmx, fmy, f2d, vw, vh = job
+        kind, row = src_of(plane)
         di = dstmap.get(id(dst))
-        if di is not None:
-            flat0 = di * psz + dsty * aw + dstx
-            key = (bilin, id(plane), w, h, fmx != 0, fmy != 0)
-            put_groups.setdefault(key, []).append(
-                (plane, dy, dx, fmx, fmy, f2d, flat0, vw, vh)
-            )
-        else:
-            shp, row = lap_rows[id(dst)]
-            # lap pool writes: flat0 indexes the (Nrows, *shp) pool
-            flat0 = row * shp[0] * shp[1] + dsty * shp[1] + dstx
-            key = (bilin, id(plane), w, h, fmx != 0, fmy != 0, shp)
-            lap_put.setdefault(key, []).append(
-                (plane, dy, dx, fmx, fmy, f2d, flat0, vw, vh)
-            )
+        key = (bilin, kind, fmx != 0, fmy != 0, di is None)
+        g = put_groups.setdefault(key, [])
+        for ty in range(0, h, 8):
+            th = min(8, h - ty)
+            for tx in range(0, w, 8):
+                tw = min(8, w - tx)
+                if di is not None:
+                    flat0 = di * psz + (dsty + ty) * aw + (dstx + tx)
+                else:
+                    base, ntx, nty, lw, lh = lap_rows[id(dst)]
+                    if dsty + ty >= lh or dstx + tx >= lw:
+                        continue
+                    flat0 = (base + ((dsty + ty) >> 3) * ntx
+                             + ((dstx + tx) >> 3)) * 64
+                g.append((row, dy + ty, dx + tx, fmx, fmy, f2d, flat0,
+                          tw, th, w, h))
 
     for job in jobs.mc:
         add_put(job, False)
     for job in jobs.bilin:
         add_put(job, True)
+    ip.put_groups = {
+        k: blob.add(_pad_desc(v, 11)) for k, v in put_groups.items() if v
+    }
 
-    put_descs = {}
-    for key, lst in {**put_groups, **lap_put}.items():
-        n = len(lst)
-        npad = _pow2(n)
-        d = np.zeros((6, npad), np.int32)
-        d[5] = 1 << 30  # padded lanes scatter out of bounds (drop mode)
-        for k, (plane, dy, dx, fmx, fmy, f2d, flat0, vw, vh) in enumerate(lst):
-            d[0, k] = dy
-            d[1, k] = dx
-            d[2, k] = fmx
-            d[3, k] = fmy
-            d[4, k] = f2d
-            d[5, k] = flat0
-        put_descs[key] = (blob.add(d), lst[0][0], lst[0][7], lst[0][8])
-
-    # ---- warp puts ----
+    # --- warp put tiles ---
     warp_groups = {}
     for dst, dsty, dstx, plane, dy, dx, abcd, mx, my, vw, vh in jobs.warp:
+        kind, row = src_of(plane)
         di = dstmap[id(dst)]
         flat0 = di * psz + dsty * aw + dstx
-        warp_groups.setdefault(id(plane), []).append(
-            (plane, dy, dx, abcd, mx, my, flat0, vw, vh)
+        warp_groups.setdefault(kind, []).append(
+            (row, dy, dx, abcd[0], abcd[1], abcd[2], abcd[3], mx, my,
+             flat0, 8, 8)
         )
-    warp_descs = {}
-    for key, lst in warp_groups.items():
-        n = len(lst)
-        npad = _pow2(n)
-        d = np.zeros((9, npad), np.int32)
-        d[8] = 1 << 30
-        for k, (plane, dy, dx, abcd, mx, my, flat0, vw, vh) in enumerate(lst):
-            d[0, k] = dy
-            d[1, k] = dx
-            d[2:6, k] = abcd
-            d[6, k] = mx
-            d[7, k] = my
-            d[8, k] = flat0
-        warp_descs[key] = (blob.add(d), lst[0][0], lst[0][7], lst[0][8])
+    ip.warp_groups = {
+        k: blob.add(_pad_desc(v, 12)) for k, v in warp_groups.items() if v
+    }
 
-    # ---- prep pools ----
-    # pool layout per (w, h): [8tap groups..., warp handles..., uploads...]
+    # --- compound prep pool: rows per 8x8 tile ---
+    pool_rows = {}   # ('p', idx) | ('w', hidx) -> (base_row, ntx)
+    npool = 0
     prep_groups = {}
-    prep_rowmap = {}  # prep job idx -> ((w, h), local row *within group*)
-    for idx, (plane, dy, dx, w, h, fmx, fmy, f2d, vw, vh) in enumerate(jobs.prep):
-        key = (id(plane), w, h, fmx != 0, fmy != 0)
+    for idx, (plane, dy, dx, w, h, fmx, fmy, f2d, vw, vh) in enumerate(
+            jobs.prep):
+        kind, row = src_of(plane)
+        ntx = (w + 7) >> 3
+        nty = (h + 7) >> 3
+        pool_rows[("p", idx)] = (npool, ntx)
+        key = (kind, fmx != 0, fmy != 0)
         g = prep_groups.setdefault(key, [])
-        prep_rowmap[idx] = (key, len(g))
-        g.append((plane, dy, dx, fmx, fmy, f2d, vw, vh))
-    prep_descs = {}
-    for key, lst in prep_groups.items():
-        n = len(lst)
-        npad = _pow2(n)
-        d = np.zeros((5, npad), np.int32)
-        for k, (plane, dy, dx, fmx, fmy, f2d, vw, vh) in enumerate(lst):
-            d[0, k] = dy
-            d[1, k] = dx
-            d[2, k] = fmx
-            d[3, k] = fmy
-            d[4, k] = f2d
-        prep_descs[key] = (blob.add(d), lst[0][0], lst[0][6], lst[0][7], npad)
+        for ty in range(0, h, 8):
+            th = min(8, h - ty)
+            for tx in range(0, w, 8):
+                tw = min(8, w - tx)
+                flat0 = (npool + (ty >> 3) * ntx + (tx >> 3)) * 64
+                g.append((row, dy + ty, dx + tx, fmx, fmy, f2d, flat0,
+                          tw, th, w, h))
+        npool += ntx * nty
+    ip.prep_groups = {
+        k: blob.add(_pad_desc(v, 11)) for k, v in prep_groups.items() if v
+    }
 
-    # warp-prep handles: pool rows per (h, w)
-    wh_rows = {}     # handle idx -> ((h, w), row)
-    wh_counts = {}
+    wh_base = {}
     for hnd in jobs.warp_handles:
-        shp = (hnd.h, hnd.w)
-        row = wh_counts.get(shp, 0)
-        wh_counts[shp] = row + 1
-        wh_rows[hnd.idx] = (shp, row)
+        ntx = (hnd.w + 7) >> 3
+        nty = (hnd.h + 7) >> 3
+        wh_base[hnd.idx] = (npool, ntx)
+        pool_rows[("w", hnd.idx)] = (npool, ntx)
+        npool += ntx * nty
     wprep_groups = {}
     for hidx, y, x, plane, dy, dx, abcd, mx, my, vw, vh in jobs.warp_prep:
-        shp, row = wh_rows[hidx]
-        flat0 = row * shp[0] * shp[1] + y * shp[1] + x
-        wprep_groups.setdefault((id(plane), shp), []).append(
-            (plane, dy, dx, abcd, mx, my, flat0, vw, vh)
+        kind, row = src_of(plane)
+        base, ntx = wh_base[hidx]
+        flat0 = (base + (y >> 3) * ntx + (x >> 3)) * 64
+        wprep_groups.setdefault(kind, []).append(
+            (row, dy, dx, abcd[0], abcd[1], abcd[2], abcd[3], mx, my,
+             flat0, 8, 8)
         )
-    wprep_descs = {}
-    for key, lst in wprep_groups.items():
-        n = len(lst)
-        npad = _pow2(n)
-        d = np.zeros((9, npad), np.int32)
-        d[8] = (1 << 30)
-        for k, (plane, dy, dx, abcd, mx, my, flat0, vw, vh) in enumerate(lst):
-            d[0, k] = dy
-            d[1, k] = dx
-            d[2:6, k] = abcd
-            d[6, k] = mx
-            d[7, k] = my
-            d[8, k] = flat0
-        wprep_descs[key] = (blob.add(d), lst[0][0], lst[0][7], lst[0][8])
+    ip.wprep_groups = {
+        k: blob.add(_pad_desc(v, 12)) for k, v in wprep_groups.items() if v
+    }
 
-    # ---- compound records ----
+    # --- host-computed preps (rare: bilinear compound) upload as pool tiles
+    host_tiles = []
+    host_rows = []
+
+    def host_pool_rows(arr):
+        nonlocal npool
+        h, w = arr.shape
+        ntx = (w + 7) >> 3
+        nty = (h + 7) >> 3
+        base = npool
+        a = np.zeros((nty * 8, ntx * 8), np.int32)
+        a[:h, :w] = arr
+        for ty in range(nty):
+            for tx in range(ntx):
+                host_rows.append(base + ty * ntx + tx)
+                host_tiles.append(a[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8])
+        npool += ntx * nty
+        return (base, ntx)
+
+    # --- compound combine tiles ---
     from ..recon.inter import _PrepHandle, _WarpPrepHandle
 
-    # pool assembly plan per (w, h): prep groups in insertion order, then
-    # warp pool, then uploaded host preps
-    pool_plan = {}
-
-    def pool_base(key_wh):
-        return pool_plan.setdefault(
-            key_wh, {"groups": [], "offsets": {}, "warp_off": None,
-                     "uploads": [], "upload_rows": 0}
-        )
-
-    for key in prep_groups:
-        _, w, h, _, _ = key
-        pp = pool_base((w, h))
-        pp["offsets"][key] = sum(prep_descs[g][4] for g in pp["groups"])
-        pp["groups"].append(key)
-
-    def src_row(s, w, h):
-        pp = pool_base((w, h))
+    def rows_of(s):
         if isinstance(s, _PrepHandle):
-            key, local = prep_rowmap[s.idx]
-            return pp["offsets"][key] + local
-        n8 = sum(prep_descs[g][4] for g in pp["groups"])
+            return pool_rows[("p", s.idx)]
         if isinstance(s, _WarpPrepHandle):
-            shp, row = wh_rows[s.idx]
-            assert shp == (h, w)
-            return n8 + row
-        # host-computed prep (rare: bilinear compound): uploaded
-        n8w = n8 + wh_counts.get((h, w), 0)
-        pp["uploads"].append(np.asarray(s, np.int32))
-        pp["upload_rows"] += 1
-        return n8w + pp["upload_rows"] - 1
+            return pool_rows[("w", s.idx)]
+        return host_pool_rows(np.asarray(s, np.int32))
 
-    comb = {"avg": {}, "mask": {}, "seg_y": {}, "seg_uv": {}}
-    seg_rowmap = {}
+    hmask_parts = []
+    hmask_off = 0
+    comb_avg = []
+    comb_mask = []   # wedge etc: mask from blob maskbuf
+    comb_segy = {}   # (ss_hor, ss_ver) -> cols
+    comb_seguv = []  # mask from device mask pool
+    seg_off = {}
+    mask_off = 0     # device mask pool cursor
     for rec in jobs.recs:
         kind, pl, dy, dx, w, h, s0, s1, extra = rec
-        flat0 = pl * psz + dy * aw + dx
-        r0 = src_row(s0, w, h)
-        r1 = src_row(s1, w, h)
-        if kind in ("avg", "wavg"):
-            wt = 8 if kind == "avg" else extra
-            comb["avg"].setdefault((w, h), []).append((r0, r1, flat0, wt))
-        elif kind == "mask":
-            comb["mask"].setdefault((w, h), []).append(
-                (r0, r1, flat0, np.asarray(extra, np.int32))
-            )
-        elif kind == "seg_y":
-            sign, sh_, sv_, seg_id = extra
-            g = comb["seg_y"].setdefault((w, h, sh_, sv_), [])
-            seg_rowmap[seg_id] = ((w, h, sh_, sv_), len(g))
-            g.append((r0, r1, flat0, sign))
-        else:  # seg_uv
-            lk, lrow = seg_rowmap[extra]
-            comb["seg_uv"].setdefault((w, h, lk), []).append(
-                (r0, r1, flat0, lrow)
-            )
+        (b0, ntx0) = rows_of(s0)
+        (b1, ntx1) = rows_of(s1)
+        flat00 = pl * psz + dy * aw + dx
+        for ty in range(0, h, 8):
+            th = min(8, h - ty)
+            for tx in range(0, w, 8):
+                tw = min(8, w - tx)
+                r0 = b0 + (ty >> 3) * ntx0 + (tx >> 3)
+                r1 = b1 + (ty >> 3) * ntx1 + (tx >> 3)
+                flat0 = flat00 + ty * aw + tx
+                if kind in ("avg", "wavg"):
+                    wt = 8 if kind == "avg" else extra
+                    comb_avg.append((r0, r1, flat0, wt, 0, 0, tw, th))
+                elif kind == "mask":
+                    moff = hmask_off + ty * w + tx
+                    comb_mask.append((r0, r1, flat0, moff, w, 0, tw, th))
+                elif kind == "seg_y":
+                    sign, sh_, sv_, seg_id = extra
+                    if seg_id not in seg_off:
+                        seg_off[seg_id] = (mask_off, w >> sh_, sh_, sv_)
+                        mask_off += (w >> sh_) * (h >> sv_)
+                    mo, mw, _, _ = seg_off[seg_id]
+                    p0 = mo + (ty >> sv_) * mw + (tx >> sh_)
+                    comb_segy.setdefault((sh_, sv_), []).append(
+                        (r0, r1, flat0, p0, mw, sign, tw, th)
+                    )
+                else:  # seg_uv
+                    mo, mw, _, _ = seg_off[extra]
+                    p0 = mo + ty * mw + tx
+                    comb_seguv.append((r0, r1, flat0, p0, mw, 0, tw, th))
+        if kind == "mask":
+            m = np.zeros((h, w), np.uint8)
+            me = np.asarray(extra)
+            if me.ndim == 2:
+                m[: me.shape[0], : me.shape[1]] = me[:h, :w]
+            else:
+                m[:, :] = np.broadcast_to(me.reshape(-1)[: h * w].reshape(h, w),
+                                          (h, w))
+            hmask_parts.append(m.reshape(-1))
+            hmask_off += h * w
 
-    comb_descs = {}
-    for kind in ("avg", "seg_y", "seg_uv"):
-        for key, lst in comb[kind].items():
-            n = len(lst)
-            npad = _pow2(n)
-            d = np.zeros((4, npad), np.int32)
-            d[2] = 1 << 30
-            for k, (r0, r1, flat0, x) in enumerate(lst):
-                d[0, k] = r0
-                d[1, k] = r1
-                d[2, k] = flat0
-                d[3, k] = x
-            comb_descs[(kind, key)] = blob.add(d)
-    for key, lst in comb["mask"].items():
-        w, h = key
-        n = len(lst)
-        npad = _pow2(n)
-        d = np.zeros((3, npad), np.int32)
-        d[2] = 1 << 30
-        masks = np.zeros((npad, h, w), np.int32)
-        for k, (r0, r1, flat0, m) in enumerate(lst):
-            d[0, k] = r0
-            d[1, k] = r1
-            d[2, k] = flat0
-            masks[k] = m
-        comb_descs[("mask", key)] = (blob.add(d), blob.add(masks))
+    ip.pool_rows = npool
+    ip.host_pool = None
+    if host_tiles:
+        ip.host_pool = (
+            blob.add(np.asarray(host_rows, np.int32)),
+            blob.add(np.stack(host_tiles).astype(np.int16)),
+        )
+    ip.comb_avg = blob.add(_pad_desc(comb_avg, 8)) if comb_avg else None
+    ip.comb_mask = blob.add(_pad_desc(comb_mask, 8)) if comb_mask else None
+    ip.comb_segy = {
+        k: blob.add(_pad_desc(v, 8)) for k, v in comb_segy.items()
+    }
+    ip.comb_seguv = blob.add(_pad_desc(comb_seguv, 8)) if comb_seguv else None
+    ip.maskpool_size = max(mask_off, 1)
 
-    # ---- obmc blends ----
-    blend_groups = {}
+    # --- OBMC blend tiles (mask vectors expanded per (dir, len), deduped)
+    from ..tables.spec_data import OBMC_MASKS
+
+    omask_off = {}
+    blends_h = []
+    blends_v = []
     for kind, dst, dy, dx, lap, w, h in jobs.blends:
         di = dstmap[id(dst)]
-        flat0 = di * psz + dy * aw + dx
-        shp, row = lap_rows[id(lap)]
-        blend_groups.setdefault((kind, shp, w, h), []).append((row, flat0))
-    blend_descs = {}
-    for key, lst in blend_groups.items():
-        n = len(lst)
-        npad = _pow2(n)
-        d = np.zeros((2, npad), np.int32)
-        d[1] = 1 << 30
-        for k, (row, flat0) in enumerate(lst):
-            d[0, k] = row
-            d[1, k] = flat0
-        blend_descs[key] = blob.add(d)
+        base, ntx, nty, lw, lh = lap_rows[id(lap)]
+        n = h if kind == "h" else w
+        mk = (kind, n)
+        if mk not in omask_off:
+            vn = (n * 3) >> 2
+            vec = np.zeros(n, np.uint8)
+            vec[:vn] = np.asarray(OBMC_MASKS[n : n + vn], np.uint8)
+            omask_off[mk] = hmask_off
+            hmask_parts.append(vec)
+            hmask_off += n
+        mo = omask_off[mk]
+        out = blends_h if kind == "h" else blends_v
+        for ty in range(0, h, 8):
+            th = min(8, h - ty)
+            for tx in range(0, w, 8):
+                tw = min(8, w - tx)
+                flat0 = di * psz + (dy + ty) * aw + (dx + tx)
+                if ty < lh and tx < lw:
+                    row = base + (ty >> 3) * ntx + (tx >> 3)
+                else:
+                    row = base  # mask is zero there; any valid row works
+                if kind == "h":
+                    moff, mrs, mcs = mo + ty, 1, 0
+                else:
+                    moff, mrs, mcs = mo + tx, 0, 1
+                out.append((row, flat0, moff, mrs, mcs, tw, th))
+    ip.blends = (
+        blob.add(_pad_desc(blends_h, 7)) if blends_h else None,
+        blob.add(_pad_desc(blends_v, 7)) if blends_v else None,
+    )
+    ip.hmask = (
+        blob.add(np.concatenate(hmask_parts)) if hmask_parts else None
+    )
+    ip.srcsY = srcsY
+    ip.srcsC = srcsC
+    ip.nlap = nlap
+    return ip
 
-    # ================= device execution =================
-    dev = blob.upload()
 
-    # lap pools (written by lap_put groups)
-    lap_pools = {}
-    for shp, cnt in lap_counts.items():
-        lap_pools[shp] = jnp.zeros((cnt * shp[0] * shp[1],), jnp.int32)
+def _stack(srcs, pad_to):
+    rows = [dev_plane(pic, pl) for pic, pl in srcs]
+    if not rows:
+        return None
+    while len(rows) < pad_to:
+        rows.append(rows[0])
+    return jnp.stack(rows[:pad_to])
 
-    # 1. put groups into planes
-    for key, (ds, plane0, vw, vh) in put_descs.items():
-        bilin = key[0]
-        d = _slice(dev, ds)
-        src = get_src(plane0)
-        if key in put_groups:
-            w, h, hh, hv = key[2], key[3], key[4], key[5]
-            if bilin:
-                pf = _bilin_group(pf, src, d, w, h, vw, vh, bpc, aw)
+
+def exec_inter_device(f, ip, dev, planes):
+    """Run the planned tile groups (see plan_inter_device); returns planes."""
+    from .blob import view
+    from .tiles import (
+        TB, bilin_tiles, blend_tiles, mask_tiles, prep_tiles, put_tiles,
+        segy_tiles, warp_prep_tiles, warp_tiles, wavg_tiles,
+    )
+    from ..headers import PixelLayout
+
+    bpc = f.cur.bpc
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    ah, aw = planes.shape[1], planes.shape[2]
+    vwY, vhY = f.cur.w, f.cur.h
+    vwC, vhC = (f.cur.w + ss_hor) >> ss_hor, (f.cur.h + ss_ver) >> ss_ver
+
+    stackY = _stack(ip.srcsY, 8)
+    stackC = _stack(ip.srcsC, 16)
+
+    def kindargs(kind):
+        return (stackY, vwY, vhY) if kind == 0 else (stackC, vwC, vhC)
+
+    pf = planes.reshape(-1)
+    lappool = (
+        jnp.zeros((ip.nlap, 8, 8), jnp.int32) if ip.nlap else None
+    )
+
+    def chunked(fn, state, handle, *args):
+        d = view(dev, handle)
+        n = d.shape[1]
+        for i in range(0, n, TB):
+            state = fn(state, *args, d[:, i : i + TB])
+        return state
+
+    # 1. puts (plane + lap destinations)
+    for (bilin, kind, hh, hv, is_lap), handle in ip.put_groups.items():
+        stack, vw, vh = kindargs(kind)
+        d = view(dev, handle)
+        n = d.shape[1]
+        for i in range(0, n, TB):
+            dd = d[:, i : i + TB]
+            if is_lap:
+                if bilin:
+                    lappool = bilin_tiles(
+                        lappool.reshape(-1), stack, dd, False, vw, vh, bpc, 8
+                    ).reshape(-1, 8, 8)
+                else:
+                    lappool = put_tiles(
+                        lappool.reshape(-1), stack, dd, hh, hv, vw, vh, bpc, 8
+                    ).reshape(-1, 8, 8)
             else:
-                pf = _put8_group(pf, src, d, w, h, hh, hv, vw, vh, bpc, aw)
-        else:
-            w, h, hh, hv, shp = key[2], key[3], key[4], key[5], key[6]
-            lp = lap_pools[shp]
-            if bilin:
-                lp = _bilin_group(lp, src, d, w, h, vw, vh, bpc, shp[1])
-            else:
-                lp = _put8_group(lp, src, d, w, h, hh, hv, vw, vh, bpc, shp[1])
-            lap_pools[shp] = lp
+                if bilin:
+                    pf = bilin_tiles(pf, stack, dd, False, vw, vh, bpc, aw)
+                else:
+                    pf = put_tiles(pf, stack, dd, hh, hv, vw, vh, bpc, aw)
 
     # 2. warp puts
-    for key, (ds, plane0, vw, vh) in warp_descs.items():
-        pf = _warp_put_group(pf, get_src(plane0), _slice(dev, ds),
-                             vw, vh, bpc, aw)
+    for kind, handle in ip.warp_groups.items():
+        stack, vw, vh = kindargs(kind)
+        d = view(dev, handle)
+        for i in range(0, d.shape[1], TB):
+            pf = warp_tiles(pf, stack, d[:, i : i + TB], vw, vh, bpc, aw)
 
-    # 3. prep pools
-    pools = {}
-    for key_wh, pp in pool_plan.items():
-        parts = []
-        for gkey in pp["groups"]:
-            ds, plane0, vw, vh, npad = prep_descs[gkey]
-            d = _slice(dev, ds)
-            _, w, h, hh, hv = gkey
-            parts.append(
-                K.prep_8tap_batch(get_src(plane0), d[0], d[1], w, h, hh, hv,
-                                  vw, vh, bpc, mxs=d[2], mys=d[3], f2ds=d[4])
-            )
-        w, h = key_wh
-        nwarp = wh_counts.get((h, w), 0)
-        if nwarp:
-            poolf = jnp.zeros((nwarp * h * w,), jnp.int32)
-            for (pid, shp), (ds, plane0, vw, vh) in wprep_descs.items():
-                if shp != (h, w):
-                    continue
-                poolf = _warp_prep_group(poolf, get_src(plane0),
-                                         _slice(dev, ds), vw, vh, bpc, w)
-            parts.append(poolf.reshape(nwarp, h, w))
-        if pp["uploads"]:
-            parts.append(jnp.asarray(np.stack(pp["uploads"])))
-        if parts:
-            pools[key_wh] = (
-                jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-            )
+    # 3. prep pool
+    pool = None
+    if ip.pool_rows:
+        poolf = jnp.zeros(ip.pool_rows * 64, jnp.int32)
+        for (kind, hh, hv), handle in ip.prep_groups.items():
+            stack, vw, vh = kindargs(kind)
+            d = view(dev, handle)
+            for i in range(0, d.shape[1], TB):
+                poolf = prep_tiles(poolf, stack, d[:, i : i + TB], hh, hv,
+                                   vw, vh, bpc, 8)
+        for kind, handle in ip.wprep_groups.items():
+            stack, vw, vh = kindargs(kind)
+            d = view(dev, handle)
+            for i in range(0, d.shape[1], TB):
+                poolf = warp_prep_tiles(poolf, stack, d[:, i : i + TB],
+                                        vw, vh, bpc, 8)
+        pool = poolf.reshape(-1, 8, 8)
+        if ip.host_pool is not None:
+            hrows = view(dev, ip.host_pool[0])
+            htiles = view(dev, ip.host_pool[1]).astype(jnp.int32)
+            pool = pool.at[hrows].set(htiles)
 
-    # 4. compound combines: avg/wavg + wedge mask + seg luma, then seg chroma
-    seg_msks = {}
-    for (kind, key), ds in comb_descs.items():
-        if kind == "avg":
-            w, h = key
-            d = _slice(dev, ds)
-            pf = _avg_group(pf, pools[(w, h)], d, d[3], w, h, bpc, aw)
-        elif kind == "mask":
-            w, h = key
-            dsd, dsm = ds
-            d = _slice(dev, dsd)
-            masks = _slice(dev, dsm)
-            pf = _mask_group(pf, pools[(w, h)], d, masks, w, h, bpc, aw)
-        elif kind == "seg_y":
-            w, h, sh_, sv_ = key
-            d = _slice(dev, ds)
-            pf, msk = _seg_y_group(pf, pools[(w, h)], d, w, h, sh_, sv_,
-                                   bpc, aw)
-            seg_msks[key] = msk
-    for (kind, key), ds in comb_descs.items():
-        if kind != "seg_uv":
+    # 4. compound combines
+    hmaskbuf = (
+        view(dev, ip.hmask).astype(jnp.int32)
+        if ip.hmask is not None
+        else jnp.zeros(1, jnp.int32)
+    )
+    if ip.comb_avg is not None:
+        d = view(dev, ip.comb_avg)
+        for i in range(0, d.shape[1], TB):
+            pf = wavg_tiles(pf, pool, d[:, i : i + TB], bpc, aw)
+    maskpool = None
+    if ip.comb_segy:
+        maskpool = jnp.zeros(ip.maskpool_size, jnp.int32)
+        for (sh_, sv_), handle in ip.comb_segy.items():
+            d = view(dev, handle)
+            for i in range(0, d.shape[1], TB):
+                pf, maskpool = segy_tiles(pf, maskpool, pool,
+                                          d[:, i : i + TB], sh_, sv_, bpc, aw)
+    if ip.comb_mask is not None:
+        d = view(dev, ip.comb_mask)
+        for i in range(0, d.shape[1], TB):
+            pf = mask_tiles(pf, pool, hmaskbuf, d[:, i : i + TB], bpc, aw)
+    if ip.comb_seguv is not None:
+        d = view(dev, ip.comb_seguv)
+        for i in range(0, d.shape[1], TB):
+            pf = mask_tiles(pf, pool, maskpool, d[:, i : i + TB], bpc, aw)
+
+    # 5. OBMC blends: top laps, then left laps (recon.rs obmc ordering)
+    for handle in ip.blends:
+        if handle is None:
             continue
-        w, h, lk = key
-        d = _slice(dev, ds)
-        pf = _seg_uv_group(pf, pools[(w, h)], seg_msks[lk], d, w, h, bpc, aw)
-
-    # 5. obmc blends: top laps, then left laps (recon.rs obmc ordering)
-    for kind_want, fn in (("h", _blend_h_group), ("v", _blend_v_group)):
-        for (kind, shp, w, h), ds in blend_descs.items():
-            if kind != kind_want:
-                continue
-            d = _slice(dev, ds)
-            laps = lap_pools[shp].reshape(-1, shp[0], shp[1])
-            pf = fn(pf, laps, d[0], d[1], w, h, aw)
+        d = view(dev, handle)
+        for i in range(0, d.shape[1], TB):
+            pf = blend_tiles(pf, lappool, hmaskbuf, aw, d[:, i : i + TB])
 
     return pf.reshape(planes.shape)

@@ -242,11 +242,9 @@ def build_plan(t, f):
     # engine coverage gates (remaining: intra block copy, scaled refs)
     if frame_hdr.allow_intrabc:
         return None
-    store = f.coef_store
-    if store.tx_pos and (store.txtp[: store.tx_pos] == WHT_WHT).any():
-        return None
 
     plan = FramePlan()
+    store = f.coef_store
     plan.ah, plan.aw = f.cur.y.shape
 
     if frame_hdr.frame_type.is_key_or_intra:

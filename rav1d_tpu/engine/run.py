@@ -1,14 +1,15 @@
-"""Engine executor: ship the frame plan to the device, run the dense pass
-there (residual scatter -> palette scatter -> one wave-scan dispatch), and
-fetch the pixels once, packed at the output bit width.
+"""Engine executor: ship the frame plan to the device in ONE packed upload,
+run the dense pass there (residual scatter -> inter batch -> palette scatter
+-> one wave-scan dispatch), and fetch the pixels once, packed at the output
+bit width.
 
-Dispatch budget per frame: one upload per descriptor array (~a dozen), one
-`_resid_scatter` per (w, h, txtp) group reading a single uploaded
-coefficient buffer, one `wave_scan` (the whole wavefront as a lax.scan,
-engine/wave2.py), and ONE device->host transfer of uint8/uint16 pixels —
-the shape that survives the tunnel's dispatch latency and narrow
-device->host path. Role parity: rav1d's fn-ptr DSP dispatch + recon replay
-(src/internal.rs:112-121, src/recon.rs:2402)."""
+Transfer budget per frame (the tunnel charges ~30-40 ms fixed per transfer):
+ONE packed int32 blob upload (coefficients + every descriptor/mask array)
+and ONE packed pixel download. Dispatches are cheap (~0.07 ms) and jit keys
+are bounded per stream: the wave scan always compiles its full feature set
+with capacity-fixed batch shapes, and the residual path keys only on tx
+size (engine/kernels.py). Role parity: rav1d's fn-ptr DSP dispatch + recon
+replay (src/internal.rs:112-121, src/recon.rs:2402)."""
 
 from __future__ import annotations
 
@@ -19,16 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.tpu.itx import itx_core
-from .plan import CLS_L, CLS_S, MODE_CFL_DC, MODE_IDENT, item_class
+from .blob import Blob, view
+from .plan import CAP, CLS_L, CLS_S, MODE_CFL_DC, MODE_IDENT, item_class
 from .wave2 import wave_scan
 
-
-def _pow2(n, lo=8):
-    p = lo
-    while p < n:
-        p <<= 1
-    return p
+FULL_FEATS = ("cfl", "filter", "ident", "ii", "z")
 
 
 def _bucket_waves(n):
@@ -43,14 +39,13 @@ def _bucket_waves(n):
         b <<= 1
 
 
-# sticky per-(class, bpc) feature sets: once a feature appears in a stream,
-# keep tracing it — monotonic growth keeps the jit key count bounded
-_STICKY_FEATS = {}
-
-
 def setup_cache():
-    """Persistent XLA compilation cache so repeat runs start hot."""
+    """Persistent XLA compilation cache so repeat runs start hot (TPU only:
+    CPU AOT artifacts are machine-feature-pinned and can SIGILL when loaded
+    on a different host)."""
     try:
+        if jax.default_backend() != "tpu":
+            return
         cache = os.environ.get(
             "RAV1D_JAX_CACHE",
             os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
@@ -64,24 +59,6 @@ def setup_cache():
 setup_cache()
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8), donate_argnums=(0,))
-def _resid_scatter(residf, cfbuf, offs, flat0, w, h, txtp, bpc, aw):
-    """Inverse-transform a batch of coefficient blocks (gathered from the
-    frame's single uploaded cf buffer) and scatter the residuals to their
-    plane positions in the flat residual buffer."""
-    sh, sw = min(h, 32), min(w, 32)
-    cfs = cfbuf[offs[:, None] + jnp.arange(sh * sw)[None, :]]
-    # store cf layout is "rc": coeff[y + x*sh] (see ref inv_txfm_add)
-    cb = cfs.reshape(cfs.shape[0], sw, sh).transpose(0, 2, 1)
-    res = itx_core(cb, w, h, txtp, bpc)
-    idx = (
-        flat0[:, None, None]
-        + jnp.arange(h)[None, :, None] * aw
-        + jnp.arange(w)[None, None, :]
-    )
-    return residf.at[idx].set(res, mode="drop")
-
-
 @partial(jax.jit, donate_argnums=(0,))
 def _pal_scatter(pf, pix, flat0, aw):
     """Scatter N same-size palette pixel blocks into the flat planes."""
@@ -90,7 +67,7 @@ def _pal_scatter(pf, pix, flat0, aw):
         + jnp.arange(pix.shape[1])[None, :, None] * aw
         + jnp.arange(pix.shape[2])[None, None, :]
     )
-    return pf.at[idx].set(pix, mode="drop")
+    return pf.at[idx].set(pix.astype(jnp.int32), mode="drop")
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -104,9 +81,17 @@ def _pack_out(planes, ach, acw, bpc):
     return flat.astype(jnp.uint8 if bpc == 8 else jnp.uint16)
 
 
+@partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+def _resid_add(planes, residb, bpc):
+    """Fused whole-plane residual add for batch-phase blocks (regions
+    without residuals hold zeros; clip is then the identity)."""
+    r = residb.reshape(planes.shape)
+    return jnp.clip(planes + r, 0, (1 << bpc) - 1)
+
+
 def _pack_class(items, NW, B, EL, psz):
     """Pack one class's items into the (NW, B, EL + N_FIELDS) int32 blob
-    (layout in wave2.FIELDS): one upload per class per frame."""
+    (layout in wave2.FIELDS): part of the single frame upload."""
     from .wave2 import FIELDS, N_FIELDS
 
     blob = np.zeros((NW, B, EL + N_FIELDS), np.int32)
@@ -117,7 +102,6 @@ def _pack_class(items, NW, B, EL, psz):
     blob[:, :, fi["h"]] = 4
     blob[:, :, fi["iioff"]] = -1
     fill = np.zeros(NW, np.int32)
-    feats = set()
     for it, aw in items:
         wv = it.wave - 1
         k = fill[wv]
@@ -134,77 +118,17 @@ def _pack_class(items, NW, B, EL, psz):
         row[fi["w"]] = it.w
         row[fi["h"]] = it.h
         row[fi["iioff"]] = it.iioff
-        if it.iioff >= 0:
-            feats.add("ii")
-        if it.mode in (6, 7, 8):
-            feats.add("z")
-        elif it.mode == 13:
-            feats.add("filter")
-        elif it.mode == MODE_IDENT:
-            feats.add("ident")
-        elif it.mode >= MODE_CFL_DC:
-            feats.add("cfl")
+        if it.mode >= MODE_CFL_DC:
             row[fi["cfla"]] = it.cfl_alpha
             row[fi["cfl0"]] = it.cfl_ly * aw + it.cfl_lx
             row[fi["cflwp"]] = it.cfl_wpad
             row[fi["cflhp"]] = it.cfl_hpad
-    return blob, feats
-
-
-def _scatter_resid_groups(residf, store, sel, cfbuf, psz, aw, bpc):
-    """Batched itx per (w, h, txtp) straight from the coefficient store
-    (rav1d pass-2 read_coef replay, batched); groups gather their indices
-    from one packed upload."""
-    sel = sel[store.eob[sel] >= 0]
-    if not sel.size:
-        return residf
-    ws = store.txw[sel].astype(np.int64)
-    hs = store.txh[sel].astype(np.int64)
-    tps = store.txtp[sel].astype(np.int64)
-    key = (ws * 2048 + hs) * 32 + tps
-    uniq, inv = np.unique(key, return_inverse=True)
-    groups = []
-    chunks = []
-    pos = 0
-    for g in range(len(uniq)):
-        gsel = sel[inv == g]
-        n = len(gsel)
-        npad = _pow2(n)
-        offs = np.zeros(npad, np.int32)
-        offs[:n] = store.cf_off[gsel]
-        flat0 = np.full(npad, 3 * psz, np.int32)
-        flat0[:n] = (
-            store.txpl[gsel].astype(np.int64) * psz
-            + store.txy[gsel].astype(np.int64) * aw
-            + store.txx[gsel]
-        )
-        chunks.append(offs)
-        chunks.append(flat0)
-        groups.append(
-            (int(store.txw[gsel[0]]), int(store.txh[gsel[0]]),
-             int(store.txtp[gsel[0]]), pos, npad)
-        )
-        pos += 2 * npad
-    idxbuf = jnp.asarray(np.concatenate(chunks))
-    for w, h, txtp, pos, npad in groups:
-        residf = _resid_scatter(
-            residf, cfbuf, idxbuf[pos : pos + npad],
-            idxbuf[pos + npad : pos + 2 * npad],
-            w, h, txtp, bpc, aw,
-        )
-    return residf
-
-
-@partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
-def _resid_add(planes, residb, bpc):
-    """Fused whole-plane residual add for batch-phase blocks (regions
-    without residuals hold zeros; clip is then the identity)."""
-    r = residb.reshape(planes.shape)
-    return jnp.clip(planes + r, 0, (1 << bpc) - 1)
+    return blob
 
 
 def execute(f, plan):
     from ..headers import PixelLayout
+    from .kernels import plan_residuals, run_residuals
 
     ah, aw = plan.ah, plan.aw
     psz = ah * aw
@@ -213,97 +137,166 @@ def execute(f, plan):
     ss_ver = 1 if layout == PixelLayout.I420 else 0
     ss_hor = 1 if layout != PixelLayout.I444 else 0
 
-    planes = jnp.zeros((3, ah, aw), jnp.int32)
-    residf = jnp.zeros(3 * psz, jnp.int32)
-
     store = f.coef_store
-    cfbuf = None
+
+    # ---------------- host planning: pack the single upload ----------------
+    blob = Blob()
+
+    hcf = None
     if store.tx_pos:
-        cfbuf = jnp.asarray(store.cf[: store.cf_pos])
+        cf = store.cf[: store.cf_pos]
+        hcf = blob.add(cf.astype(np.int16) if bpc == 8 else cf)
+
+    wave_ops = []
     if plan.wavefront_tx is not None and plan.wavefront_tx.size:
-        residf = _scatter_resid_groups(
-            residf, store, plan.wavefront_tx, cfbuf, psz, aw, bpc
-        )
+        wave_ops = plan_residuals(blob, store, plan.wavefront_tx, psz, aw)
+    batch_ops = []
+    if plan.inter is not None and plan.batch_tx is not None \
+            and plan.batch_tx.size:
+        batch_ops = plan_residuals(blob, store, plan.batch_tx, psz, aw)
 
-    # --- inter batch phase: MC/warp/compound/OBMC into the planes, then
-    # the fused batch residual add (engine/inter.py) ---
-    if plan.inter is not None:
-        from .inter import exec_inter
-
-        planes = exec_inter(f, plan, planes)
-        if plan.batch_tx is not None and plan.batch_tx.size:
-            residb = jnp.zeros(3 * psz, jnp.int32)
-            residb = _scatter_resid_groups(
-                residb, store, plan.batch_tx, cfbuf, psz, aw, bpc
-            )
-            planes = _resid_add(planes, residb, bpc)
-
-    # --- palette scatter (entropy-determined pixels; pre-wavefront),
-    # batched per block shape ---
+    # palette scatters, grouped per block shape
+    pal_groups = []
     if plan.pal:
-        pf = planes.reshape(-1)
         groups = {}
         for pl, y, x, pix in plan.pal:
-            groups.setdefault(pix.shape, []).append(
-                (pl * psz + y * aw + x, pix)
-            )
+            groups.setdefault(pix.shape, []).append((pl * psz + y * aw + x, pix))
         for shape, blocks in groups.items():
             flat0 = np.fromiter((b[0] for b in blocks), np.int32,
                                 count=len(blocks))
-            pix = np.stack([b[1] for b in blocks])
-            pf = _pal_scatter(pf, jnp.asarray(pix), jnp.asarray(flat0), aw)
-        planes = pf.reshape(planes.shape)
+            pix = np.stack([b[1] for b in blocks]).astype(
+                np.uint8 if bpc == 8 else np.int16
+            )
+            pal_groups.append((blob.add(pix), blob.add(flat0)))
 
-    # --- wavefront: one scan dispatch over wave levels ---
+    # wave descriptors: capacity-fixed batch shapes, bucketed wave count
     sitems = [(it, aw) for it in plan.items if item_class(it.w, it.h) == 0]
     litems = [(it, aw) for it in plan.items if item_class(it.w, it.h) == 1]
     NW = _bucket_waves(max(plan.n_waves, 1))
-    sdesc = ldesc = None
-    featsS = featsL = None
+    hs = hl = hmask = None
     if sitems:
-        cnt = np.zeros(NW, np.int64)
-        for it, _ in sitems:
-            cnt[it.wave - 1] += 1
-        B = _pow2(int(cnt.max()), lo=8)
         EL = 2 * CLS_S[1] + 1 + 2 * CLS_S[0]
-        blob, feats = _pack_class(sitems, NW, B, EL, psz)
-        sticky = _STICKY_FEATS.setdefault((0, bpc), set())
-        sticky |= feats
-        featsS = tuple(sorted(sticky))
-        sdesc = jnp.asarray(blob)
+        hs = blob.add(_pack_class(sitems, NW, CAP[0], EL, psz))
     if litems:
-        cnt = np.zeros(NW, np.int64)
-        for it, _ in litems:
-            cnt[it.wave - 1] += 1
-        B = _pow2(int(cnt.max()), lo=2)
         EL = 2 * CLS_L[1] + 1 + 2 * CLS_L[0]
-        blob, feats = _pack_class(litems, NW, B, EL, psz)
-        sticky = _STICKY_FEATS.setdefault((1, bpc), set())
-        sticky |= feats
-        featsL = tuple(sorted(sticky))
-        ldesc = jnp.asarray(blob)
-    if featsS is not None or featsL is not None:
-        if plan.ii_masks:
-            mflat = np.concatenate(plan.ii_masks)
-            mbuf = np.zeros(_pow2(mflat.size, lo=64), np.int32)
-            mbuf[: mflat.size] = mflat
-            maskbuf = jnp.asarray(mbuf)
-        else:
-            maskbuf = jnp.zeros(1, jnp.int32)
+        hl = blob.add(_pack_class(litems, NW, CAP[1], EL, psz))
+    if (hs is not None or hl is not None) and plan.ii_masks:
+        hmask = blob.add(np.concatenate(plan.ii_masks).astype(np.int16))
+
+    inter_plan = None
+    if plan.inter is not None:
+        from .inter import plan_inter_device
+
+        inter_plan = plan_inter_device(f, plan, blob)
+
+    # post-filter plans (device filter chain; engine/filters.py)
+    from .filters import (
+        plan_cdef, plan_deblock, plan_lr, resize_plane, run_cdef,
+        run_deblock, run_lr,
+    )
+
+    dp = plan_deblock(f, blob)
+    cp = plan_cdef(f, blob)
+    lrp = plan_lr(f, blob)
+    need_sr = f.frame_hdr.size.width[0] != f.frame_hdr.size.width[1]
+
+    # ---------------- device execution ----------------
+    dev = blob.upload()
+
+    planes = jnp.zeros((3, ah, aw), jnp.int32)
+    cfbuf = view(dev, hcf) if hcf is not None else None
+
+    residf = jnp.zeros(3 * psz, jnp.int32)
+    residf = run_residuals(residf, cfbuf, dev, wave_ops, bpc, aw)
+
+    if inter_plan is not None:
+        from .inter import exec_inter_device
+
+        planes = exec_inter_device(f, inter_plan, dev, planes)
+        if batch_ops:
+            residb = jnp.zeros(3 * psz, jnp.int32)
+            residb = run_residuals(residb, cfbuf, dev, batch_ops, bpc, aw)
+            planes = _resid_add(planes, residb, bpc)
+
+    if pal_groups:
+        pf = planes.reshape(-1)
+        for hpix, hflat in pal_groups:
+            pf = _pal_scatter(pf, view(dev, hpix), view(dev, hflat), aw)
+        planes = pf.reshape(3, ah, aw)
+
+    if hs is not None or hl is not None:
+        maskbuf = (
+            view(dev, hmask).astype(jnp.int32)
+            if hmask is not None
+            else jnp.zeros(1, jnp.int32)
+        )
         planes = wave_scan(
-            planes, residf, sdesc, ldesc, maskbuf, bpc=bpc,
-            ss_hor=ss_hor, ss_ver=ss_ver, featsS=featsS, featsL=featsL,
+            planes, residf,
+            view(dev, hs) if hs is not None else None,
+            view(dev, hl) if hl is not None else None,
+            maskbuf, bpc=bpc, ss_hor=ss_hor, ss_ver=ss_ver,
+            featsS=FULL_FEATS if hs is not None else None,
+            featsL=FULL_FEATS if hl is not None else None,
         )
 
-    # --- writeback: one packed fetch (host post-filters consume numpy
-    # planes until they move on device) ---
-    if f.cur.u is not None:
-        ach, acw = f.cur.u.shape
+    # --- device post-filter chain (src/recon.rs:4047-4338 equivalent) ---
+    planes = run_deblock(planes, dp, dev, bpc)
+    pre_cdef = planes if lrp is not None else None  # immutable snapshot
+    planes = run_cdef(planes, cp, dev, f)
+
+    if need_sr:
+        sr = f.sr_cur
+        s_ah, s_aw = sr.y.shape
+        srcw_y = 4 * f.bw
+        outs = []
+        pres = []
+        for pl in (0, 1, 2):
+            if pl and sr.u is None:
+                break
+            sh = ss_hor if pl else 0
+            sv = ss_ver if pl else 0
+            ci = 1 if pl else 0
+            dst_w = (sr.w + sh) >> sh
+            src_w = (srcw_y + sh) >> sh
+            h = (f.cur.h + sv) >> sv
+            args = (h, dst_w, src_w, f.resize_step[ci], f.resize_start[ci],
+                    bpc, s_aw)
+            outs.append(jnp.pad(
+                resize_plane(planes[pl], *args), ((0, s_ah - h), (0, 0))
+            ))
+            if pre_cdef is not None:
+                pres.append(jnp.pad(
+                    resize_plane(pre_cdef[pl], *args), ((0, s_ah - h), (0, 0))
+                ))
+        while len(outs) < 3:
+            outs.append(jnp.zeros((s_ah, s_aw), jnp.int32))
+            if pre_cdef is not None:
+                pres.append(jnp.zeros((s_ah, s_aw), jnp.int32))
+        planes = jnp.stack(outs)
+        if pre_cdef is not None:
+            pre_cdef = jnp.stack(pres)
+        ah, aw = s_ah, s_aw
+        psz = ah * aw
+
+    planes = run_lr(planes, lrp, dev, pre_cdef, f.sr_cur, bpc)
+
+    # --- writeback: one packed fetch into the output picture; the device
+    # planes stay attached to the picture as the ref twins (inter MC of
+    # later frames gathers them without re-upload) ---
+    out_pic = f.sr_cur
+    if out_pic.u is not None:
+        ach, acw = out_pic.u.shape
     else:
         ach = acw = 0
-    flat = np.asarray(jax.device_get(_pack_out(planes, ach, acw, bpc)))
-    f.cur.y[:, :] = flat[:psz].reshape(ah, aw)
-    if f.cur.u is not None:
-        csz = ach * acw
-        f.cur.u[:, :] = flat[psz : psz + csz].reshape(ach, acw)
-        f.cur.v[:, :] = flat[psz + csz :].reshape(ach, acw)
+    odt = jnp.uint8 if bpc == 8 else jnp.uint16
+    dev_out = planes.astype(odt)
+    out_pic._dev_planes = {0: dev_out[0]}
+    if out_pic.u is not None:
+        out_pic._dev_planes[1] = dev_out[1, :ach, :acw]
+        out_pic._dev_planes[2] = dev_out[2, :ach, :acw]
+    packed = _pack_out(planes, ach, acw, bpc)
+    try:
+        packed.copy_to_host_async()
+    except Exception:
+        pass
+    out_pic._pending_fetch = (packed, psz, ah, aw, ach, acw)

@@ -54,12 +54,30 @@ class Picture:
     def chroma_h(self) -> int:
         return (self.h + self.ss_ver) >> self.ss_ver
 
+    def materialize(self):
+        """Fetch device-resident pixels into the host planes (engine mode
+        defers this so decode never blocks on the device->host link; the
+        copy was started async at decode time)."""
+        pending = getattr(self, "_pending_fetch", None)
+        if pending is None:
+            return self
+        flat, psz, ah, aw, ach, acw = pending
+        self._pending_fetch = None
+        flat = np.asarray(flat)
+        self.y[:, :] = flat[:psz].reshape(ah, aw)
+        if self.u is not None:
+            csz = ach * acw
+            self.u[:, :] = flat[psz : psz + csz].reshape(ach, acw)
+            self.v[:, :] = flat[psz + csz :].reshape(ach, acw)
+        return self
+
     def iter_plane_rows(self):
         """Yield each visible plane's bytes (rows concatenated), Y then U,V.
 
         Matches the md5/yuv muxer row walk (tools/output/md5.rs md5_write):
         w bytes per row at 8 bpc, 2*w little-endian bytes at 10/12 bpc.
         """
+        self.materialize()
         yield np.ascontiguousarray(self.y[: self.h, : self.w]).tobytes()
         if self.layout != PixelLayout.I400:
             cw, ch = self.chroma_w, self.chroma_h

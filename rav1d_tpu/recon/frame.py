@@ -148,40 +148,46 @@ def decode_frame(ctx, f):
             sbrow_marks.append((tile_row, sby, len(f.work_items)))
 
     # dense pass: device engine when available (batched device phases +
-    # wave-scheduled intra; engine/), else the numpy replay (sbrow by
-    # sbrow so next-row intra prediction sees its top edge backup)
+    # wave-scheduled intra + device post-filter chain; engine/), else the
+    # numpy replay (sbrow by sbrow so next-row intra prediction sees its
+    # top edge backup) followed by the host filter chain
     from .. import engine as _engine
 
-    if _engine.enabled() and _engine.run_dense(t, f, tile_states, sbrow_marks, cols):
-        f.work_items = []
-    else:
-        run_dense_pass(t, f, tile_states, sbrow_marks, cols)
-
-    from .lf import apply_loopfilter
-    from .cdef_apply import apply_cdef
-    from .lr_apply import apply_lr, restore_planes_mask
-
-    apply_loopfilter(f)
-    pre_cdef = None
-    if restore_planes_mask(frame_hdr):
-        pre_cdef = [
-            f.cur.y.copy(),
-            f.cur.u.copy() if f.cur.u is not None else None,
-            f.cur.v.copy() if f.cur.v is not None else None,
-        ]
     f.noskip8 = (
         f.noskip4[0 : f.bh + 32 : 2, 0 : f.bw + 32 : 2]
         | f.noskip4[1 : f.bh + 32 : 2, 1 : f.bw + 32 : 2]
         | f.noskip4[0 : f.bh + 32 : 2, 1 : f.bw + 32 : 2]
         | f.noskip4[1 : f.bh + 32 : 2, 0 : f.bw + 32 : 2]
     )
-    apply_cdef(f)
-    if frame_hdr.size.width[0] != frame_hdr.size.width[1]:
-        _superres(f)
+    if _engine.enabled() and _engine.run_dense(t, f, tile_states, sbrow_marks, cols):
+        f.work_items = []
+    else:
+        # the numpy replay reads reference pixels on the host: fetch any
+        # engine-decoded (device-resident) refs first
+        for refp in f.refp:
+            if refp is not None:
+                refp.materialize()
+        run_dense_pass(t, f, tile_states, sbrow_marks, cols)
+
+        from .lf import apply_loopfilter
+        from .cdef_apply import apply_cdef
+        from .lr_apply import apply_lr, restore_planes_mask
+
+        apply_loopfilter(f)
+        pre_cdef = None
+        if restore_planes_mask(frame_hdr):
+            pre_cdef = [
+                f.cur.y.copy(),
+                f.cur.u.copy() if f.cur.u is not None else None,
+                f.cur.v.copy() if f.cur.v is not None else None,
+            ]
+        apply_cdef(f)
+        if frame_hdr.size.width[0] != frame_hdr.size.width[1]:
+            _superres(f)
+            if pre_cdef is not None:
+                pre_cdef = _resize_planes(f, pre_cdef)
         if pre_cdef is not None:
-            pre_cdef = _resize_planes(f, pre_cdef)
-    if pre_cdef is not None:
-        apply_lr(f, pre_cdef)
+            apply_lr(f, pre_cdef)
 
     if frame_hdr.refresh_context:
         f.out_cdf = tile_states[update_idx].cdf.updated(frame_hdr, f.in_cdf)
