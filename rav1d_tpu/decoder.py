@@ -181,13 +181,31 @@ class Decoder:
     # -- public API --------------------------------------------------------
 
     def send_data(self, data: bytes, timestamp: int = 0):
-        """Feed one temporal unit. Raises EAgain if input is still pending."""
+        """Feed one temporal unit. Raises EAgain if input is still pending.
+
+        Error semantics match dav1d's poison-not-kill contract
+        (src/lib.rs:538 rav1d_send_data -> gen_picture, cached_error at
+        src/lib.rs:347; fuzzer invariant tests/libfuzzer/dav1d_fuzzer.c):
+        a malformed temporal unit raises DecodeError, the offending input
+        is dropped, and the decoder remains usable — reference state is
+        kept consistent so later valid frames keep decoding.
+        """
         if self._pending_input is not None:
             raise EAgain("previous input not fully consumed")
         if len(data) == 0:
             raise DecodeError("empty data")
         self._pending_input = [bytes(data), timestamp]
-        self._gen_picture()
+        try:
+            self._gen_picture()
+        except EAgain:
+            raise
+        except Exception as e:
+            self._pending_input = None  # poison this TU, keep the decoder
+            self.frame_hdr = None
+            self.tiles.clear()
+            self.n_tiles = 0
+            err = e if isinstance(e, DecodeError) else DecodeError(str(e))
+            raise err from e
 
     def _gen_picture(self):
         """Parse buffered input until a picture is produced or input runs dry
@@ -207,7 +225,17 @@ class Decoder:
         """Return the next decoded picture. Raises EAgain when none is ready.
         Synchronous decode = n_fc==1, so each call drains the layer cache
         (rav1d_get_picture: output_picture_ready(c, c.n_fc == 1))."""
-        self._gen_picture()
+        try:
+            self._gen_picture()
+        except EAgain:
+            raise
+        except Exception as e:
+            self._pending_input = None
+            self.frame_hdr = None
+            self.tiles.clear()
+            self.n_tiles = 0
+            err = e if isinstance(e, DecodeError) else DecodeError(str(e))
+            raise err from e
         if self._picture_ready(True):
             out = self._output_image()
             if self.apply_grain and out.frame_hdr is not None and _has_grain(out):
