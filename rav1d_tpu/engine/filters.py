@@ -511,10 +511,12 @@ def plan_lr(f, blob):
         if restore_planes & 4:
             walk_plane(2, cw, ch, ss_ver, ss_hor)
 
+    from .blob import bucket
+
     out = {}
     for key, cols in groups.items():
         n = len(cols)
-        npad = ((n + LR_CHUNK - 1) // LR_CHUNK) * LR_CHUNK
+        npad = bucket((n + LR_CHUNK - 1) // LR_CHUNK, lo=1) * LR_CHUNK
         d = np.zeros((16, npad), np.int32)
         d[:, :n] = np.asarray(cols, np.int32).T
         out[key] = blob.add(d)

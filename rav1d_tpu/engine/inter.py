@@ -263,11 +263,14 @@ class _InterDevPlan:
 
 
 def _pad_desc(cols, nrows):
-    """Stack per-tile descriptor columns into (nrows, ceil(n/TB)*TB)."""
+    """Stack per-tile descriptor columns into (nrows, bucket(n/TB)*TB): the
+    padded width is length-bucketed so descriptor shapes (and the jit keys
+    of their consumers) converge across frames (engine/blob.py)."""
+    from .blob import bucket
     from .tiles import TB
 
     n = len(cols)
-    npad = ((n + TB - 1) // TB) * TB if n else 0
+    npad = bucket((n + TB - 1) // TB, lo=1) * TB if n else 0
     d = np.zeros((nrows, npad), np.int32)
     if n:
         a = np.asarray(cols, np.int32).T
@@ -499,20 +502,27 @@ def plan_inter_device(f, plan, blob):
             hmask_parts.append(m.reshape(-1))
             hmask_off += h * w
 
-    ip.pool_rows = npool
+    from .blob import bucket
+
+    # pool/lap/mask buffer row counts are traced shapes downstream: bucket
+    # them so exec_inter_device's jit keys converge across frames
+    ip.pool_rows = bucket(npool, lo=16) if npool else 0
     ip.host_pool = None
     if host_tiles:
-        ip.host_pool = (
-            blob.add(np.asarray(host_rows, np.int32)),
-            blob.add(np.stack(host_tiles).astype(np.int16)),
-        )
+        nh = len(host_tiles)
+        nhp = bucket(nh, lo=4)
+        rows = np.full(nhp, 1 << 20, np.int32)  # pad rows: scatter-dropped
+        rows[:nh] = host_rows
+        tiles = np.zeros((nhp, 8, 8), np.int16)
+        tiles[:nh] = np.stack(host_tiles).astype(np.int16)
+        ip.host_pool = (blob.add(rows), blob.add(tiles))
     ip.comb_avg = blob.add(_pad_desc(comb_avg, 8)) if comb_avg else None
     ip.comb_mask = blob.add(_pad_desc(comb_mask, 8)) if comb_mask else None
     ip.comb_segy = {
         k: blob.add(_pad_desc(v, 8)) for k, v in comb_segy.items()
     }
     ip.comb_seguv = blob.add(_pad_desc(comb_seguv, 8)) if comb_seguv else None
-    ip.maskpool_size = max(mask_off, 1)
+    ip.maskpool_size = bucket(max(mask_off, 1), lo=64)
 
     # --- OBMC blend tiles (mask vectors expanded per (dir, len), deduped)
     from ..tables.spec_data import OBMC_MASKS
@@ -553,12 +563,22 @@ def plan_inter_device(f, plan, blob):
         blob.add(_pad_desc(blends_v, 7)) if blends_v else None,
     )
     ip.hmask = (
-        blob.add(np.concatenate(hmask_parts)) if hmask_parts else None
+        blob.add(_bucket_pad(np.concatenate(hmask_parts)))
+        if hmask_parts else None
     )
     ip.srcsY = srcsY
     ip.srcsC = srcsC
-    ip.nlap = nlap
+    ip.nlap = bucket(nlap, lo=16) if nlap else 0
     return ip
+
+
+def _bucket_pad(a, lo=64):
+    """Pad a 1-D array to a bucketed length (zeros) for shape convergence."""
+    from .blob import bucket
+
+    out = np.zeros(bucket(a.size, lo=lo), a.dtype)
+    out[: a.size] = a
+    return out
 
 
 def _stack(srcs, pad_to):

@@ -144,7 +144,12 @@ def execute(f, plan):
 
     hcf = None
     if store.tx_pos:
-        cf = store.cf[: store.cf_pos]
+        from .blob import bucket
+
+        # bucket the coefficient buffer length: it is a traced shape of
+        # every resid_scatter_any key and must converge across frames
+        cf = np.zeros(bucket(store.cf_pos, lo=4096), store.cf.dtype)
+        cf[: store.cf_pos] = store.cf[: store.cf_pos]
         hcf = blob.add(cf.astype(np.int16) if bpc == 8 else cf)
 
     wave_ops = []
@@ -161,12 +166,16 @@ def execute(f, plan):
         groups = {}
         for pl, y, x, pix in plan.pal:
             groups.setdefault(pix.shape, []).append((pl * psz + y * aw + x, pix))
+        from .blob import bucket
+
         for shape, blocks in groups.items():
-            flat0 = np.fromiter((b[0] for b in blocks), np.int32,
-                                count=len(blocks))
-            pix = np.stack([b[1] for b in blocks]).astype(
-                np.uint8 if bpc == 8 else np.int16
-            )
+            n = len(blocks)
+            npad = bucket(n, lo=4)
+            flat0 = np.full(npad, 3 * psz, np.int32)  # pad: scatter-dropped
+            flat0[:n] = [b[0] for b in blocks]
+            pix = np.zeros((npad,) + shape,
+                           np.uint8 if bpc == 8 else np.int16)
+            pix[:n] = np.stack([b[1] for b in blocks])
             pal_groups.append((blob.add(pix), blob.add(flat0)))
 
     # wave descriptors: capacity-fixed batch shapes, bucketed wave count
@@ -181,7 +190,11 @@ def execute(f, plan):
         EL = 2 * CLS_L[1] + 1 + 2 * CLS_L[0]
         hl = blob.add(_pack_class(litems, NW, CAP[1], EL, psz))
     if (hs is not None or hl is not None) and plan.ii_masks:
-        hmask = blob.add(np.concatenate(plan.ii_masks).astype(np.int16))
+        from .inter import _bucket_pad
+
+        hmask = blob.add(
+            _bucket_pad(np.concatenate(plan.ii_masks).astype(np.int16))
+        )
 
     inter_plan = None
     if plan.inter is not None:
