@@ -115,12 +115,19 @@ def main():
         if left < 30:
             details[name] = {"error": "budget exhausted"}
             continue
-        # engine path first (the TPU path), then numpy fallback guard:
-        # whichever is faster is the decoder's real behavior (the engine
-        # auto-gate uses the same comparison).
-        res_e = run_child(vec, limit, "jax", min(left * 0.7, left - 25))
+        # numpy path first: fast and guaranteed to produce a number, so a
+        # slow engine warmup can never leave the bench empty. Then the
+        # engine (TPU) path gets the remaining budget; whichever is faster
+        # is the decoder's real behavior (the engine auto-gate uses the
+        # same comparison).
+        res_n = run_child(vec, limit, "np", min(left * 0.4, 120))
         spent = time.perf_counter() - t_start
-        res_n = run_child(vec, limit, "np", max(30, BUDGET_S - spent - 10))
+        rem = BUDGET_S - spent - 10
+        res_e = (
+            run_child(vec, limit, "jax", rem * 0.45)
+            if rem > 90
+            else {"error": "budget exhausted", "fps": 0.0, "frames": 0}
+        )
         pick, path = (res_e, "engine") if res_e.get("fps", 0) >= res_n.get(
             "fps", 0
         ) else (res_n, "numpy")

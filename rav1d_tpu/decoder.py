@@ -126,6 +126,9 @@ class Decoder:
         self._tu_flag = False  # NEW_TEMPORAL_UNIT pending (picture.rs flags)
         self.all_layers = self.settings.all_layers
         self._timebase = (25, 1)
+        self.max_frame_delay = self.settings.max_frame_delay
+        self._dense_exec = None  # FIFO worker for the dense half (n_fc ring)
+        self._in_flight = []
 
     # -- event hooks used by obu.parse_obus --------------------------------
 
@@ -245,6 +248,7 @@ class Decoder:
 
     def flush(self):
         """Drop all buffered input/output and reference state (dav1d_flush)."""
+        self._drain_dense()
         self._pending_input = None
         self._out = None
         self._cache = None
@@ -475,8 +479,12 @@ class Decoder:
             else:
                 f.cur_segmap = f.prev_segmap  # read-only reuse
 
-        # decode now (synchronous n_fc==1 path) so failures don't corrupt refs
-        decode_frame(self, f)
+        # syntax pass now (host C, synchronous): produces CDFs, refmvs,
+        # segmap — everything frame N+1's syntax pass needs — before any
+        # pixel work (rav1d pass=1, src/decode.rs:3895)
+        from .recon.frame import decode_frame_dense, decode_frame_syntax
+
+        decode_frame_syntax(self, f)
 
         # CDF refresh output
         out_cdf = f.out_cdf if frame_hdr.refresh_context else f.in_cdf
@@ -494,5 +502,66 @@ class Decoder:
                 slot.refmvs = None if frame_hdr.allow_intrabc else f.mvs
                 slot.refpoc = tuple(f.refpoc)
 
+        # dense pass: pipelined on the frame ring (n_fc >= 2) so the next
+        # frame's host syntax pass overlaps this frame's pixel work
+        # (src/thread_task.rs:714 worker loop, src/internal.rs:159
+        # out_delayed ring), or inline when the ring is disabled
+        if self._frame_delay() > 1:
+            self._submit_dense(f)
+        else:
+            decode_frame_dense(f)
+
         if frame_hdr.show_frame or self.output_invisible_frames:
             self._queue_out(f.sr_cur)
+
+    # -- frame ring (dense-pass pipelining) ---------------------------------
+
+    def _frame_delay(self) -> int:
+        """Frames in flight: Settings.max_frame_delay, 0 = auto (2).
+        RAV1D_PIPELINE=0 forces the synchronous n_fc==1 path."""
+        import os
+
+        mode = os.environ.get("RAV1D_PIPELINE", "auto")
+        if mode == "0":
+            return 1
+        d = self.max_frame_delay
+        if d > 0:
+            return d
+        if mode == "auto":
+            # auto: overlap only pays when the dense half runs on the
+            # device (host syntax under device dense); the numpy dense
+            # half shares the GIL with syntax and loses ~5%
+            from . import engine as _engine
+
+            return 2 if _engine.enabled() else 1
+        return 2
+
+    def _submit_dense(self, f):
+        """Queue the dense half on the single FIFO worker. FIFO order means
+        a frame's dense pass starts only after every reference frame's
+        pixels are complete — the row-watermark dependency collapsed to
+        whole frames (src/thread_task.rs:496-543)."""
+        from concurrent.futures import ThreadPoolExecutor
+        from .recon.frame import decode_frame_dense
+
+        if self._dense_exec is None:
+            self._dense_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="rav1d-dense"
+            )
+        while len(self._in_flight) >= self._frame_delay():
+            fut = self._in_flight.pop(0)
+            try:
+                fut.result()
+            except Exception:
+                pass  # surfaced via the picture's _dense_future
+        fut = self._dense_exec.submit(decode_frame_dense, f)
+        f.sr_cur._dense_future = fut
+        self._in_flight.append(fut)
+
+    def _drain_dense(self):
+        for fut in self._in_flight:
+            try:
+                fut.result()
+            except Exception:
+                pass
+        self._in_flight = []

@@ -58,6 +58,10 @@ class Picture:
         """Fetch device-resident pixels into the host planes (engine mode
         defers this so decode never blocks on the device->host link; the
         copy was started async at decode time)."""
+        fut = getattr(self, "_dense_future", None)
+        if fut is not None:
+            self._dense_future = None
+            fut.result()  # wait for the frame ring; re-raises decode errors
         pending = getattr(self, "_pending_fetch", None)
         if pending is None:
             return self

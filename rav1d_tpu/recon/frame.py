@@ -17,6 +17,17 @@ from ..syntax.decode import (
 
 
 def decode_frame(ctx, f):
+    """Synchronous decode: syntax pass then dense pass (n_fc==1)."""
+    decode_frame_syntax(ctx, f)
+    decode_frame_dense(f)
+
+
+def decode_frame_syntax(ctx, f):
+    """Entropy/syntax half: the per-sbrow msac walk that fills the coef
+    store + work items, plus the CDF refresh. Produces everything a LATER
+    frame's syntax pass needs (CDF, refmvs, segmap) — no pixels — so the
+    decoder can pipeline it ahead of the dense pass (rav1d's two-pass
+    frame threading, src/decode.rs:3895 pass=1, src/internal.rs:159)."""
     seq_hdr = f.seq_hdr
     frame_hdr = f.frame_hdr
 
@@ -147,18 +158,34 @@ def decode_frame(ctx, f):
                 _refmvs.save_tmvs(f.rf, 0, f.bw >> 1, by >> 1, by_end)
             sbrow_marks.append((tile_row, sby, len(f.work_items)))
 
-    # dense pass: device engine when available (batched device phases +
-    # wave-scheduled intra + device post-filter chain; engine/), else the
-    # numpy replay (sbrow by sbrow so next-row intra prediction sees its
-    # top edge backup) followed by the host filter chain
-    from .. import engine as _engine
-
     f.noskip8 = (
         f.noskip4[0 : f.bh + 32 : 2, 0 : f.bw + 32 : 2]
         | f.noskip4[1 : f.bh + 32 : 2, 1 : f.bw + 32 : 2]
         | f.noskip4[0 : f.bh + 32 : 2, 1 : f.bw + 32 : 2]
         | f.noskip4[1 : f.bh + 32 : 2, 0 : f.bw + 32 : 2]
     )
+
+    # CDF refresh is a syntax product (src/decode.rs:4497 update_tile_ctx):
+    # available to the NEXT frame before this frame's pixels exist
+    if frame_hdr.refresh_context:
+        f.out_cdf = tile_states[update_idx].cdf.updated(frame_hdr, f.in_cdf)
+
+    f._dense_args = (t, tile_states, sbrow_marks, cols)
+
+
+def decode_frame_dense(f):
+    """Dense/pixel half: device engine when available (batched device
+    phases + wave-scheduled intra + device post-filter chain; engine/),
+    else the numpy replay (sbrow by sbrow so next-row intra prediction
+    sees its top edge backup) followed by the host filter chain. Reads
+    only reference PIXELS from other frames, so it runs behind the syntax
+    plane on the frame pipeline (rav1d pass=2, src/thread_task.rs:714)."""
+    from .. import engine as _engine
+
+    frame_hdr = f.frame_hdr
+    t, tile_states, sbrow_marks, cols = f._dense_args
+    f._dense_args = None
+
     if _engine.enabled() and _engine.run_dense(t, f, tile_states, sbrow_marks, cols):
         f.work_items = []
     else:
@@ -188,9 +215,6 @@ def decode_frame(ctx, f):
                 pre_cdef = _resize_planes(f, pre_cdef)
         if pre_cdef is not None:
             apply_lr(f, pre_cdef)
-
-    if frame_hdr.refresh_context:
-        f.out_cdf = tile_states[update_idx].cdf.updated(frame_hdr, f.in_cdf)
 
 
 def _superres(f):
