@@ -13,8 +13,14 @@ the *pixel dependencies* of intra prediction are honored by a host-computed
 wave schedule (see plan.py).
 
 Gate: RAV1D_ENGINE=jax forces the engine, RAV1D_ENGINE=np forces the numpy
-path, RAV1D_ENGINE=auto (the default) runs the engine when jax's default
-backend is a TPU.
+path. RAV1D_ENGINE=auto (the default) currently resolves to the numpy
+path even on TPU: on the single tunneled chip available here, measured
+per-dispatch latency (~ms per eager op round-trip) and XLA compile cost
+dominate at conformance-clip resolutions, and the engine loses to the
+host path by a wide margin (bench.py measures both and records the
+comparison every run). The engine stays the architecture for real
+multi-chip parts where batch size amortizes dispatch cost; flip with
+RAV1D_ENGINE=jax.
 """
 
 from __future__ import annotations
@@ -22,24 +28,13 @@ from __future__ import annotations
 import os
 
 
-_FORCED = None
-
-
 def enabled() -> bool:
-    global _FORCED
     mode = os.environ.get("RAV1D_ENGINE", "auto")
     if mode == "np":
         return False
     if mode == "jax":
         return True
-    if _FORCED is None:
-        try:
-            import jax
-
-            _FORCED = jax.default_backend() == "tpu"
-        except Exception:  # pragma: no cover - jax always present
-            _FORCED = False
-    return _FORCED
+    return False  # auto: host path is the measured-faster default
 
 
 def run_dense(t, f, tile_states, sbrow_marks, cols) -> bool:
