@@ -73,6 +73,59 @@ print("RESULT " + json.dumps({
 """
 
 
+_CHILD_SYNTAX = r"""
+import json, sys, time
+sys.path.insert(0, %(root)r)
+from rav1d_tpu.decoder import Decoder, EAgain, Settings
+from rav1d_tpu.io.ivf import IvfDemuxer
+from rav1d_tpu.recon import frame as _frame
+
+n = [0]
+def _noop(f):
+    n[0] += 1
+_frame.decode_frame_dense = _noop  # syntax-plane ceiling: skip pixel work
+
+dec = Decoder(Settings(apply_grain=False))
+t0 = time.perf_counter()
+for pkt in IvfDemuxer(%(vec)r):
+    try:
+        dec.send_data(pkt.data, pkt.timestamp)
+    except Exception:
+        pass
+    while True:
+        try:
+            dec.get_picture()
+        except EAgain:
+            break
+        except Exception:
+            break
+    if n[0] >= %(limit)d:
+        break
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({
+    "frames": n[0], "wall_s": round(dt, 3),
+    "fps": round(n[0] / dt, 3) if dt > 0 else 0.0,
+}))
+"""
+
+
+def run_syntax_child(vec, limit, timeout):
+    """Measure the host C entropy/syntax pass alone (dense pass stubbed):
+    the Amdahl ceiling of the two-pass design (SURVEY §2.4.4)."""
+    code = _CHILD_SYNTAX % {"root": ROOT, "vec": vec, "limit": limit}
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout, env=dict(os.environ), cwd=ROOT,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout", "fps": 0.0}
+    for line in (p.stdout or "").splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    return {"error": f"rc={p.returncode}", "fps": 0.0}
+
+
 def run_child(vec, limit, engine, timeout):
     env = dict(os.environ)
     env["RAV1D_ENGINE"] = engine
