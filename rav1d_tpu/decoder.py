@@ -129,6 +129,10 @@ class Decoder:
         self.max_frame_delay = self.settings.max_frame_delay
         self._dense_exec = None  # FIFO worker for the dense half (n_fc ring)
         self._in_flight = []
+        # first dense-pass failure, surfaced once on the next API call even
+        # if the broken picture is never materialized (src/lib.rs:875-900
+        # cached_error return-once semantics)
+        self._cached_error = None
 
     # -- event hooks used by obu.parse_obus --------------------------------
 
@@ -195,6 +199,7 @@ class Decoder:
         """
         if self._pending_input is not None:
             raise EAgain("previous input not fully consumed")
+        self._raise_cached_error()
         if len(data) == 0:
             raise DecodeError("empty data")
         self._pending_input = [bytes(data), timestamp]
@@ -224,10 +229,19 @@ class Decoder:
             else:
                 self._pending_input[0] = buf[consumed:]
 
+    def _raise_cached_error(self):
+        """Surface a dense-pass failure exactly once (lib.rs:889-900)."""
+        if self._cached_error is not None:
+            err, self._cached_error = self._cached_error, None
+            if isinstance(err, DecodeError):
+                raise err
+            raise DecodeError(str(err)) from err
+
     def get_picture(self) -> Picture:
         """Return the next decoded picture. Raises EAgain when none is ready.
         Synchronous decode = n_fc==1, so each call drains the layer cache
         (rav1d_get_picture: output_picture_ready(c, c.n_fc == 1))."""
+        self._raise_cached_error()
         try:
             self._gen_picture()
         except EAgain:
@@ -249,6 +263,7 @@ class Decoder:
     def flush(self):
         """Drop all buffered input/output and reference state (dav1d_flush)."""
         self._drain_dense()
+        self._cached_error = None  # seek/flush drops pending failures
         self._pending_input = None
         self._out = None
         self._cache = None
@@ -552,8 +567,12 @@ class Decoder:
             fut = self._in_flight.pop(0)
             try:
                 fut.result()
-            except Exception:
-                pass  # surfaced via the picture's _dense_future
+            except Exception as e:
+                # record the first failure: it re-raises on the next API
+                # call even if the broken picture is never materialized
+                # (its ref pixels are zeros; dependents are corrupt)
+                if self._cached_error is None:
+                    self._cached_error = e
         fut = self._dense_exec.submit(decode_frame_dense, f)
         f.sr_cur._dense_future = fut
         self._in_flight.append(fut)
@@ -562,6 +581,10 @@ class Decoder:
         for fut in self._in_flight:
             try:
                 fut.result()
-            except Exception:
-                pass
+            except Exception as e:
+                if self._cached_error is None:
+                    self._cached_error = e
         self._in_flight = []
+        if self._dense_exec is not None:
+            self._dense_exec.shutdown(wait=True)
+            self._dense_exec = None

@@ -1,0 +1,97 @@
+"""Engine v3 frame blob: ONE flat int32 staging buffer per frame.
+
+Every host-produced array the dense pass needs — header, coefficients,
+descriptor chunks, filter maps, masks — packs sequentially into one flat
+int32 numpy buffer that uploads with one `device_put`. All device-side
+consumers read it at *traced* word offsets recorded in the header region,
+so the packing layout never enters an XLA compile key: the only traced
+shape is the buffer's bucketed capacity.
+
+Measured tunnel cost model (round 4, axon v5e): host->device transfer of a
+FRESH numpy buffer pays a large pinning cost (~100-150 ms/MB); re-uploading
+the SAME buffer object costs ~10-30 ms total at >100 MB/s. So staging
+buffers are persistent per capacity bucket and double-buffered (the device
+copy of frame N may still be in flight while frame N+1 packs).
+
+Role parity: this is the engine's answer to rav1d's shared-memory access
+to the frame's coef/mask/descriptor state from worker threads
+(src/internal.rs:481-504 frame_thread buffers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bucket_pow2(n, lo=4096):
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+class _Staging:
+    """Persistent pinned staging buffers, double-buffered per capacity."""
+
+    def __init__(self):
+        self.bufs = {}  # cap -> [buf0, buf1]
+        self.turn = {}
+
+    def get(self, cap):
+        if cap not in self.bufs:
+            self.bufs[cap] = [np.zeros(cap, np.int32), np.zeros(cap, np.int32)]
+            self.turn[cap] = 0
+        t = self.turn[cap]
+        self.turn[cap] ^= 1
+        return self.bufs[cap][t]
+
+
+_staging = _Staging()
+
+
+class FrameBlob:
+    """Sequential word allocator over the frame's staging buffer."""
+
+    __slots__ = ("parts", "pos")
+
+    def __init__(self, hdr_len):
+        self.parts = []
+        self.pos = hdr_len  # header region occupies [0, hdr_len)
+
+    def add_words(self, arr_i32):
+        """Append an int32 ndarray; returns its word offset."""
+        a = np.ascontiguousarray(arr_i32, dtype=np.int32).reshape(-1)
+        off = self.pos
+        self.parts.append((off, a))
+        self.pos += a.size
+        return off
+
+    def add_i16(self, arr):
+        """Append an int16 array packed two-per-word (little-endian pair
+        order matches lax.bitcast_convert_type int32->int16 lane order).
+        Returns the word offset; element i lives at word off + i//2."""
+        a = np.ascontiguousarray(arr, dtype=np.int16).reshape(-1)
+        if a.size & 1:
+            a = np.concatenate([a, np.zeros(1, np.int16)])
+        return self.add_words(a.view(np.int32))
+
+    def add_u8(self, arr):
+        """Append a uint8 array packed four-per-word; element i lives in
+        byte lane i%4 of word off + i//4."""
+        a = np.ascontiguousarray(arr, dtype=np.uint8).reshape(-1)
+        pad = (-a.size) % 4
+        if pad:
+            a = np.concatenate([a, np.zeros(pad, np.uint8)])
+        return self.add_words(a.view(np.int32))
+
+    def upload(self, hdr):
+        """Fill a persistent staging buffer and ship it (one transfer)."""
+        import jax
+
+        cap = bucket_pow2(max(self.pos, hdr.size))
+        buf = _staging.get(cap)
+        buf[: hdr.size] = hdr
+        for off, a in self.parts:
+            buf[off : off + a.size] = a
+        buf[self.pos :] = 0  # stale words from this buffer's previous tenant
+        return jax.device_put(buf)

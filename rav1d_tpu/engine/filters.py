@@ -34,8 +34,7 @@ LR_CHUNK = 128  # stripes per LR dispatch
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(0,))
-def lf_dir_pass(plane, cmap, lmap, eih, luma, hor, bpc):
+def lf_dir_pass_raw(plane, cmap, lmap, eih, luma, hor, bpc):
     """All three width classes of one (plane, direction) deblock pass.
 
     plane: (H, W) int32; cmap/lmap: (nh4, nw4) final edge class / level maps
@@ -158,8 +157,7 @@ def run_deblock(planes, dp, dev, bpc):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
-def cdef_pass(planes, maps, damping, nby, nbx, bh, bw, ss_hor, ss_ver, uv422,
+def cdef_pass_raw(planes, maps, damping, nby, nbx, bh, bw, ss_hor, ss_ver, uv422,
               bpc):
     """Dense whole-frame CDEF: direction search on pre-CDEF luma + filter of
     every active 8x8 unit, all planes (recon/cdef_apply.py apply_cdef)."""
@@ -310,8 +308,7 @@ def run_cdef(planes, cp, dev, f):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 6, 7))
-def resize_plane(src, h, dst_w, src_w, dx, mx0, bpc, out_w):
+def resize_plane_raw(src, h, dst_w, src_w, dx, mx0, bpc, out_w):
     """Horizontal 8-tap resample (mc.rs resize_rust:1114) with traced
     step/start; out_w = padded output width (zero-filled tail)."""
     from ..tables import spec_data as _sd
@@ -372,16 +369,14 @@ def _lr_scatter(pf, out, d, aw):
     return pf.at[jnp.where(valid, idx, big)].set(out, mode="drop")
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0,))
-def lr_wiener_pass(pf, cat, d, W, bpc, aw):
+def lr_wiener_pass_raw(pf, cat, d, W, bpc, aw):
     tmps = _gather_stripes(cat, d, W + 6)
     out = wiener_batch(tmps, jnp.stack([d[S_P0], d[S_P1], d[S_P2]], 1),
                        jnp.stack([d[S_P3], d[S_P4], d[S_P5]], 1), W, 64, bpc)
     return _lr_scatter(pf, out, d, aw)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6), donate_argnums=(0,))
-def lr_sgr_pass(pf, cat, d, W, kind, bpc, aw):
+def lr_sgr_pass_raw(pf, cat, d, W, kind, bpc, aw):
     tmps = _gather_stripes(cat, d, W + 6)
     cur = tmps[:, 3 : 3 + 64, 3 : 3 + W]
     out = sgr_batch(cur, tmps, d[S_P0], d[S_P1],
@@ -555,3 +550,21 @@ def run_lr(planes, lrp, dev, pre_cdef, sr, bpc):
                     pf = lr_sgr_pass(pf, cat, dd, W, kind, bpc, aw)
         planes = planes.at[pl].set(pf.reshape(plane.shape))
     return planes
+
+# jitted aliases (the per-call dispatch path; engine v3 traces the raw
+# impls inside its single filter program instead)
+lf_dir_pass = partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(0,))(
+    lf_dir_pass_raw
+)
+cdef_pass = partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))(
+    cdef_pass_raw
+)
+resize_plane = partial(jax.jit, static_argnums=(1, 2, 3, 6, 7))(
+    resize_plane_raw
+)
+lr_wiener_pass = partial(
+    jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0,)
+)(lr_wiener_pass_raw)
+lr_sgr_pass = partial(
+    jax.jit, static_argnums=(3, 4, 5, 6), donate_argnums=(0,)
+)(lr_sgr_pass_raw)

@@ -72,7 +72,10 @@ _CFL_DC_FNS = {
 
 
 def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz,
-                maskbuf=None):
+                maskbuf=None, mask_base=0):
+    """One wave step for one size class. maskbuf holds the interintra
+    blend masks at word offset mask_base (0 when maskbuf is a dedicated
+    array; the frame blob word offset in engine v3)."""
     C = 2 * CH
     w = d["w"]
     h = d["h"]
@@ -134,7 +137,7 @@ def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz,
         moff = d["iioff"]
         dyl = jnp.arange(CH)[None, :, None]
         dxl = jnp.arange(CW)[None, None, :]
-        midx = moff[:, None, None] + dyl * w[:, None, None] + dxl
+        midx = mask_base + moff[:, None, None] + dyl * w[:, None, None] + dxl
         m = maskbuf[jnp.clip(midx, 0, maskbuf.shape[0] - 1)]
         blended = (own * (64 - m) + out * m + 32) >> 6
         out = jnp.where((moff >= 0)[:, None, None], blended, out)

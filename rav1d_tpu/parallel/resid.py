@@ -12,7 +12,10 @@ residual plane the single-device path produces.
 Role parity: rav1d distributes per-superblock recon tasks over worker
 threads (src/thread_task.rs:714); here the same work-items distribute
 over chips, with the ICI collective replacing shared memory. Bit-exact:
-sharded output == engine single-device output == numpy path.
+sharded output == engine single-device output for the itx classes it
+covers (group_residuals excludes lossless WHT blocks, which route through
+the dedicated WHT kernel on the single-device path; frames containing WHT
+blocks are outside this oracle).
 """
 
 from __future__ import annotations
@@ -69,7 +72,6 @@ def group_residuals(store, psz, aw, n_shards):
         fs = np.zeros((K, 2, B), np.int32)
         flat_o = o.reshape(-1)
         flat_f = f0.reshape(-1)
-        flat_s = fs.reshape(K * 2, B)
         flat_o[:n] = offs
         flat_f[:n] = flat0
         for i in range(0, n, B):

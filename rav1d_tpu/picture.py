@@ -61,7 +61,14 @@ class Picture:
         fut = getattr(self, "_dense_future", None)
         if fut is not None:
             self._dense_future = None
-            fut.result()  # wait for the frame ring; re-raises decode errors
+            try:
+                fut.result()  # wait for the frame ring
+            except Exception as e:  # match the send/get error contract
+                from .decoder import DecodeError
+
+                if isinstance(e, DecodeError):
+                    raise
+                raise DecodeError(str(e)) from e
         pending = getattr(self, "_pending_fetch", None)
         if pending is None:
             return self

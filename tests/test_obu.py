@@ -27,6 +27,16 @@ def parse_first_tu(relpath):
         dec.send_data(pkt.data, pkt.timestamp)
     except (_Stop, NotImplementedError):
         pass
+    except Exception as e:
+        # send_data wraps everything in DecodeError (poison-not-kill
+        # contract); unwrap to find our stop sentinel
+        causes = []
+        c = e
+        while c is not None:
+            causes.append(type(c))
+            c = c.__cause__
+        if _Stop not in causes and NotImplementedError not in causes:
+            raise
     return dec, demux
 
 
