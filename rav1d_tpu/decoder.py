@@ -133,6 +133,13 @@ class Decoder:
         # if the broken picture is never materialized (src/lib.rs:875-900
         # cached_error return-once semantics)
         self._cached_error = None
+        from . import engine as _engine
+
+        if _engine.enabled():
+            # load the engine now: its import warms the device->host
+            # channel, which on the axon tunnel must happen early in the
+            # process lifetime (engine/run2.py _warm_transfer)
+            from .engine import run2  # noqa: F401
 
     # -- event hooks used by obu.parse_obus --------------------------------
 
@@ -539,16 +546,23 @@ class Decoder:
         mode = os.environ.get("RAV1D_PIPELINE", "auto")
         if mode == "0":
             return 1
+        from . import engine as _engine
+
+        if _engine.enabled():
+            # engine mode pipelines through XLA async dispatch on the main
+            # thread: execute() only enqueues device work, so the host
+            # syntax pass of frame N+1 already overlaps frame N's device
+            # dense pass. A Python worker thread must NOT run jax here:
+            # on this jax build device<->host transfers only complete on
+            # the thread that initialized jax.
+            return 1
         d = self.max_frame_delay
         if d > 0:
             return d
         if mode == "auto":
-            # auto: overlap only pays when the dense half runs on the
-            # device (host syntax under device dense); the numpy dense
-            # half shares the GIL with syntax and loses ~5%
-            from . import engine as _engine
-
-            return 2 if _engine.enabled() else 1
+            # numpy path: the dense half shares the GIL with syntax and
+            # the ring loses ~5%; off unless explicitly requested
+            return 1
         return 2
 
     def _submit_dense(self, f):

@@ -42,10 +42,9 @@ def run_dense(t, f, tile_states, sbrow_marks, cols) -> bool:
     feature the engine does not cover yet (caller falls back to the numpy
     path)."""
     from .plan import build_plan
-    from .run import execute
+    from .run2 import execute
 
     plan = build_plan(t, f)
     if plan is None:
         return False
-    execute(f, plan)
-    return True
+    return execute(f, plan)

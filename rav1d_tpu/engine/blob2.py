@@ -30,6 +30,27 @@ def bucket_pow2(n, lo=4096):
     return b
 
 
+def bucket_fine(n, lo=4096):
+    """{1, 1.25, 1.5, 1.75} * pow2 steps: bounds upload waste to <= 25%
+    while keeping the distinct staging sizes O(log)."""
+    if n <= lo:
+        return lo
+    b = lo
+    while True:
+        for num in (4, 5, 6, 7):
+            c = (b * num) // 4
+            if n <= c:
+                return c
+        b <<= 1
+
+
+# program capacity high-water marks, keyed by frame geometry: the device
+# blob length is a traced shape of every program, so it must NOT follow
+# per-frame content (that was round-3's recompile churn); it only grows,
+# and the first (key)frame is almost always the high-water mark
+_HWM = {}
+
+
 class _Staging:
     """Persistent pinned staging buffers, double-buffered per capacity."""
 
@@ -52,11 +73,20 @@ _staging = _Staging()
 class FrameBlob:
     """Sequential word allocator over the frame's staging buffer."""
 
-    __slots__ = ("parts", "pos")
+    __slots__ = ("parts", "zparts", "pos")
 
     def __init__(self, hdr_len):
         self.parts = []
+        self.zparts = []  # (off, n) regions explicitly zeroed at upload
         self.pos = hdr_len  # header region occupies [0, hdr_len)
+
+    def alloc_zeros(self, n):
+        """Reserve an n-word all-zero region (e.g. a no-op filter map);
+        zeroed at upload since the staging buffer is reused across frames."""
+        off = self.pos
+        self.pos += n
+        self.zparts.append((off, n))
+        return off
 
     def add_words(self, arr_i32):
         """Append an int32 ndarray; returns its word offset."""
@@ -84,14 +114,29 @@ class FrameBlob:
             a = np.concatenate([a, np.zeros(pad, np.uint8)])
         return self.add_words(a.view(np.int32))
 
-    def upload(self, hdr):
-        """Fill a persistent staging buffer and ship it (one transfer)."""
+    def upload(self, hdr, hwm_key=None):
+        """Fill a persistent staging buffer with the USED prefix, ship it,
+        and zero-pad on device to the geometry's high-water capacity (the
+        programs' traced blob length). Upload bytes track frame content;
+        compile keys track only the stable capacity."""
         import jax
+        import jax.numpy as jnp
 
-        cap = bucket_pow2(max(self.pos, hdr.size))
-        buf = _staging.get(cap)
+        need = bucket_pow2(max(self.pos, hdr.size))
+        if hwm_key is not None:
+            cap = max(_HWM.get(hwm_key, 0), need)
+            _HWM[hwm_key] = cap
+        else:
+            cap = need
+        prefix = min(bucket_fine(self.pos), cap)
+        buf = _staging.get(prefix)
         buf[: hdr.size] = hdr
         for off, a in self.parts:
             buf[off : off + a.size] = a
+        for off, n in self.zparts:
+            buf[off : off + n] = 0
         buf[self.pos :] = 0  # stale words from this buffer's previous tenant
-        return jax.device_put(buf)
+        pre = jax.device_put(buf)
+        if prefix == cap:
+            return pre, cap
+        return jnp.pad(pre, (0, cap - prefix)), cap

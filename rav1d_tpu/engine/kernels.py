@@ -132,39 +132,6 @@ def wht_core(cb):
     return jnp.stack(c, axis=1)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8), donate_argnums=(0,))
-def resid_scatter_any(residf, cfbuf, offs, flat0, fs, w, h, bpc, aw):
-    """Inverse-transform a fixed-size chunk of blocks gathered from the
-    frame coefficient buffer and scatter residuals into the flat residual
-    plane. fs: (2, B) first/second variant codes. Padded lanes carry
-    flat0 >= len(residf) and drop."""
-    sh, sw = min(h, 32), min(w, 32)
-    cfs = cfbuf[offs[:, None] + jnp.arange(sh * sw)[None, :]].astype(jnp.int32)
-    # store layout is "rc": coeff[y + x*sh]
-    cb = cfs.reshape(cfs.shape[0], sw, sh).transpose(0, 2, 1)
-    res = itx_any_core(cb, fs[0], fs[1], w, h, bpc)
-    idx = (
-        flat0[:, None, None]
-        + jnp.arange(h)[None, :, None] * aw
-        + jnp.arange(w)[None, None, :]
-    )
-    return residf.at[idx].set(res, mode="drop")
-
-
-@partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0,))
-def wht_scatter(residf, cfbuf, offs, flat0, bpc, aw):
-    """WHT 4x4 chunk: gather, transform, scatter (lossless frames)."""
-    cfs = cfbuf[offs[:, None] + jnp.arange(16)[None, :]].astype(jnp.int32)
-    cb = cfs.reshape(cfs.shape[0], 4, 4).transpose(0, 2, 1)
-    res = wht_core(cb)
-    idx = (
-        flat0[:, None, None]
-        + jnp.arange(4)[None, :, None] * aw
-        + jnp.arange(4)[None, None, :]
-    )
-    return residf.at[idx].set(res, mode="drop")
-
-
 def chunk_for(w, h):
     """Fixed chunk size per tx size: the batch length never enters the jit
     key; chunks keep per-dispatch work roughly even."""
@@ -173,72 +140,3 @@ def chunk_for(w, h):
     while p < b:
         p <<= 1
     return min(p, 1024)
-
-
-def plan_residuals(blob, store, sel, psz, aw):
-    """Pack chunked itx descriptors for `sel` store indices into the frame
-    blob; returns ops for run_residuals. One (w, h) jit key per tx size —
-    tx types ride as data (replaces the per-(w, h, txtp, pow2) key model)."""
-    ops = []
-    sel = sel[store.eob[sel] >= 0]
-    if not sel.size:
-        return ops
-    tps = store.txtp[sel].astype(np.int64)
-    wht = tps == WHT_WHT
-    ws = store.txw[sel].astype(np.int64)
-    hs = store.txh[sel].astype(np.int64)
-    key = np.where(wht, -1, ws * 2048 + hs)
-    flat0_all = (
-        store.txpl[sel].astype(np.int64) * psz
-        + store.txy[sel].astype(np.int64) * aw
-        + store.txx[sel]
-    ).astype(np.int32)
-    uniq = np.unique(key)
-    oob = np.int32(3 * psz)
-    for k in uniq:
-        gsel = key == k
-        offs = store.cf_off[sel[gsel]].astype(np.int32)
-        flat0 = flat0_all[gsel]
-        n = offs.size
-        if k == -1:
-            w = h = 4
-            B = 256
-            fsv = ssv = None
-        else:
-            w = int(k) // 2048
-            h = int(k) % 2048
-            B = chunk_for(w, h)
-            fsv = TXTP_FIRST[tps[gsel]]
-            ssv = TXTP_SECOND[tps[gsel]]
-        for i in range(0, n, B):
-            m = min(B, n - i)
-            o = np.zeros(B, np.int32)
-            f = np.full(B, oob, np.int32)
-            o[:m] = offs[i : i + m]
-            f[:m] = flat0[i : i + m]
-            if k == -1:
-                ops.append(("wht", blob.add(o), blob.add(f), None, w, h))
-            else:
-                fs = np.zeros((2, B), np.int32)
-                fs[0, :m] = fsv[i : i + m]
-                fs[1, :m] = ssv[i : i + m]
-                ops.append(
-                    ("itx", blob.add(o), blob.add(f), blob.add(fs), w, h)
-                )
-    return ops
-
-
-def run_residuals(residf, cfbuf, dev, ops, bpc, aw):
-    """Execute planned itx chunks against the uploaded blob."""
-    from .blob import view
-
-    for kind, ho, hf, hfs, w, h in ops:
-        if kind == "wht":
-            residf = wht_scatter(residf, cfbuf, view(dev, ho), view(dev, hf),
-                                 bpc, aw)
-        else:
-            residf = resid_scatter_any(
-                residf, cfbuf, view(dev, ho), view(dev, hf), view(dev, hfs),
-                w, h, bpc, aw,
-            )
-    return residf

@@ -55,6 +55,23 @@ def setup_cache():
 setup_cache()
 
 
+def _warm_transfer():
+    """Initialize the device->host channel with a tiny fetch, immediately
+    after backend init. Measured on the axon tunnel: the FIRST d2h
+    transfer of a process wedges forever if it is issued after the
+    process has been busy/idle for a while (lost-wakeup in the relay);
+    once one early fetch succeeds, every later fetch is reliable."""
+    try:
+        import jax.numpy as jnp
+
+        np.asarray(jnp.arange(4))
+    except Exception:
+        pass
+
+
+_warm_transfer()
+
+
 def _chunked(cols_rows, n, B, pads=None):
     """Stack per-item descriptor columns (rows, n) into (nc, rows, B) with
     per-row pad values (default 0)."""
@@ -734,11 +751,17 @@ def _stack(srcs, pad_to):
     return jnp.stack(rows[:pad_to])
 
 
+_TRACE = os.environ.get("RAV1D_ENGINE_TRACE") == "1"
+
+
 def execute(f, plan):
     """Run the dense pass on the device. Returns False when a pool capacity
     would overflow (host fallback), True on success."""
+    import time
+
     from ..headers import PixelLayout
 
+    t0 = time.perf_counter()
     ah, aw = plan.ah, plan.aw
     psz = ah * aw
     bpc = f.cur.bpc
@@ -770,8 +793,10 @@ def execute(f, plan):
             hdr[SR0 + 2 * ci] = f.resize_step[ci]
             hdr[SR0 + 2 * ci + 1] = f.resize_start[ci]
     lr_ws = _pack_lr(f, blob, hdr)
+    t_pack = time.perf_counter()
 
-    dev = blob.upload(hdr)
+    dev, _cap = blob.upload(hdr, hwm_key=(ah, aw, bpc, int(layout)))
+    t_up = time.perf_counter()
 
     ra, planes = resid_prog(dev, ah=ah, aw=aw, bpc=bpc)
     if srcs is not None:
@@ -813,9 +838,32 @@ def execute(f, plan):
     if out_pic.u is not None:
         out_pic._dev_planes[1] = dev_out[1, :ach, :acw]
         out_pic._dev_planes[2] = dev_out[2, :ach, :acw]
-    try:
-        packed.copy_to_host_async()
-    except Exception:
-        pass
-    out_pic._pending_fetch = (packed, s_ah * s_aw, s_ah, s_aw, ach, acw)
+    # Fetch IMMEDIATELY after dispatch. Empirically on this jax/axon
+    # build: (a) copy_to_host_async() wedges the array's host future
+    # forever (this, not compile churn, was a root cause of round 3's
+    # engine bench timeouts), (b) a device->host fetch issued from any
+    # thread other than the one that initialized jax deadlocks, and (c)
+    # even main-thread fetches are flaky after an idle gap. The reliable
+    # pattern is dispatch -> fetch back-to-back on the main thread, so the
+    # engine runs synchronously per frame. RAV1D_LAZY_FETCH=1 restores the
+    # async-pipelined fetch for experiments.
+    t_prog = time.perf_counter()
+    if os.environ.get("RAV1D_LAZY_FETCH") == "1":
+        out_pic._pending_fetch = (packed, s_ah * s_aw, s_ah, s_aw, ach, acw)
+    else:
+        out_pic._pending_fetch = (
+            np.asarray(packed), s_ah * s_aw, s_ah, s_aw, ach, acw
+        )
+    if _TRACE:
+        t_end = time.perf_counter()
+        print(
+            "[engine] pack %.1f up %.1f prog %.1f fetch %.1f ms "
+            "(blob %d KB, cap %d KB)"
+            % (
+                (t_pack - t0) * 1e3, (t_up - t_pack) * 1e3,
+                (t_prog - t_up) * 1e3, (t_end - t_prog) * 1e3,
+                blob.pos * 4 // 1024, _cap * 4 // 1024,
+            ),
+            flush=True,
+        )
     return True

@@ -1,5 +1,5 @@
-"""Single-dispatch wavefront executor: the whole intra wavefront of a frame
-runs as ONE jitted `lax.scan` over wave levels.
+"""Wavefront step kernels: one wave level of one size class as a traced
+batch step (driven by engine/mega.py wave_prog's fori over wave levels).
 
 Items are bucketed into two static size classes — S (tx <= 16x16) and
 L (up to 64x64) — with per-wave slot capacity; descriptors are stacked
@@ -167,34 +167,3 @@ def _unpack_blob(blob, EL):
         v = blob[:, EL + i]
         d[k] = (v != 0) if k in ("rmask", "z2sm") else v
     return d
-
-
-@partial(
-    jax.jit,
-    static_argnames=("bpc", "ss_hor", "ss_ver", "featsS", "featsL"),
-    donate_argnames=("planes",),
-)
-def wave_scan(planes, resid, sblob, lblob, maskbuf=None, *, bpc, ss_hor,
-              ss_ver, featsS, featsL):
-    """planes (3, ah, aw) int32 (donated); resid (3*ah*aw,) int32;
-    sblob/lblob: (NW, B, EL+N_FIELDS) int32 packed wave descriptors (or
-    None); maskbuf: flat interintra mask table (or None);
-    featsS/featsL: sorted feature tuples, or None when absent."""
-    aw = planes.shape[2]
-    psz = planes.shape[1] * aw
-    pf = planes.reshape(-1)
-
-    def body(pf, xs):
-        sb, lb = xs
-        if featsS is not None:
-            d = _unpack_blob(sb, 2 * CLS_S[1] + 1 + 2 * CLS_S[0])
-            pf = _class_step(pf, resid, d, CLS_S[0], CLS_S[1], bpc, featsS,
-                             ss_hor, ss_ver, aw, psz, maskbuf)
-        if featsL is not None:
-            d = _unpack_blob(lb, 2 * CLS_L[1] + 1 + 2 * CLS_L[0])
-            pf = _class_step(pf, resid, d, CLS_L[0], CLS_L[1], bpc, featsL,
-                             ss_hor, ss_ver, aw, psz, maskbuf)
-        return pf, None
-
-    pf, _ = jax.lax.scan(body, pf, (sblob, lblob))
-    return pf.reshape(planes.shape)

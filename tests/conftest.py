@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Local persistent compile cache: with 2 host cores, cold XLA-CPU compiles
+# of the engine programs take minutes; cached reruns take seconds. /tmp is
+# machine-local, so the CPU-AOT cross-host SIGILL concern doesn't apply.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("RAV1D_JAX_CACHE_CPU", "/tmp/rav1d_jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
