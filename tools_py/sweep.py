@@ -60,9 +60,12 @@ def collect(suites):
 
 
 def decode_one(path, expected, filmgrain, timeout_s):
+    from rav1d_tpu import engine as _engine
     from rav1d_tpu.decoder import Decoder, EAgain, Settings
     from rav1d_tpu.io import probe_demuxer
     from rav1d_tpu.io.muxers import Md5Muxer
+
+    _engine.stats.update(frames=0, fallback=0)
 
     def on_alarm(sig, frm):
         raise TimeoutError()
@@ -91,7 +94,11 @@ def decode_one(path, expected, filmgrain, timeout_s):
                 break
         got = md5.digest()
         status = "pass" if got == expected else "mismatch"
-        return {"status": status, "md5": got, "frames": n, "secs": round(time.time() - t0, 2)}
+        res = {"status": status, "md5": got, "frames": n, "secs": round(time.time() - t0, 2)}
+        if os.environ.get("RAV1D_ENGINE") == "jax":
+            res["engine_frames"] = _engine.stats["frames"]
+            res["engine_fallback"] = _engine.stats["fallback"]
+        return res
     except TimeoutError:
         return {"status": "timeout", "secs": round(time.time() - t0, 2)}
     except Exception as e:  # noqa: BLE001
@@ -107,6 +114,19 @@ def decode_one(path, expected, filmgrain, timeout_s):
 def worker_main(batch_file):
     sys.path.insert(0, ROOT)
     batch = json.load(open(batch_file))
+    if batch.get("engine"):
+        # engine sweep: force the device path, pinned to the LOCAL cpu
+        # backend (the axon plugin ignores JAX_PLATFORMS) with the local
+        # persistent compile cache
+        os.environ["RAV1D_ENGINE"] = "jax"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("RAV1D_JAX_CACHE_CPU", "/tmp/rav1d_jax_cache_cpu"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     out = open(batch["out"], "a", buffering=1)
     for name, path, md5, fg in batch["items"]:
         res = decode_one(path, md5, fg, batch["timeout"])
@@ -123,6 +143,11 @@ def main():
     ap.add_argument("--filter", default=None)
     ap.add_argument("--out", default="sweep_results.jsonl")
     ap.add_argument("--worker", default=None)
+    ap.add_argument("--engine", action="store_true",
+                    help="force the device engine (RAV1D_ENGINE=jax) on "
+                         "the local CPU backend; records fallback counts")
+    ap.add_argument("--stratify", type=int, default=0,
+                    help="take only the first N vectors of each subdir")
     args = ap.parse_args()
 
     if args.worker:
@@ -133,6 +158,15 @@ def main():
     items = list(collect(suites))
     if args.filter:
         items = [it for it in items if args.filter in it[1]]
+    if args.stratify:
+        bycount = defaultdict(int)
+        kept = []
+        for it in items:
+            d = os.path.dirname(it[1])
+            if bycount[d] < args.stratify:
+                bycount[d] += 1
+                kept.append(it)
+        items = kept
     print(f"{len(items)} vectors")
     # strip stale results for items we're about to re-run
     done = {}
@@ -153,7 +187,8 @@ def main():
         if not b:
             continue
         bf = f"/tmp/sweep_batch_{i}.json"
-        json.dump({"items": b, "out": args.out, "timeout": args.timeout}, open(bf, "w"))
+        json.dump({"items": b, "out": args.out, "timeout": args.timeout,
+                   "engine": args.engine}, open(bf, "w"))
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         procs.append(subprocess.Popen([sys.executable, __file__, "--worker", bf], env=env))
     for p in procs:
