@@ -153,6 +153,31 @@ def run_syntax_child(vec, limit, timeout):
     return _run(code, dict(os.environ), timeout)
 
 
+_PROBE = r"""
+import faulthandler
+faulthandler.dump_traceback_later(50, exit=True)
+import jax, jax.numpy as jnp, numpy as np
+d = jax.device_put(np.arange(64, dtype=np.int32))
+v = np.asarray(d * 2)
+print("RESULT " + str(int(v[1])))
+"""
+
+
+def probe_tunnel(timeout=70):
+    """One tiny h2d+exec+d2h round trip in a throwaway child. The axon
+    tunnel's device->host path can be wedged session-wide (killed clients
+    poison it); attempting the engine then only wastes budget and worsens
+    the wedge."""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", _PROBE], capture_output=True, text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return any(line.startswith("RESULT 2") for line in (p.stdout or "").splitlines())
+
+
 def run_child(vec, limit, reps, engine, timeout, retries=0):
     env = dict(os.environ)
     env["RAV1D_ENGINE"] = engine
@@ -197,15 +222,18 @@ def main():
         # 2. numpy path (guaranteed number)
         left = BUDGET_S - (time.perf_counter() - t_start)
         res_n = run_child(vec, limit, reps, "np", min(left * 0.35, 150))
-        # 3. engine path: the rest of this vector's share, one retry
+        # 3. engine path: the rest of this vector's share, one retry --
+        # but only when the tunnel's d2h path is actually alive
         left = BUDGET_S - (time.perf_counter() - t_start)
         share = left / max(1, sum(1 for c in CONFIGS if c[0] not in details))
         et = max(120.0, share * 0.8)
-        res_e = (
-            run_child(vec, limit, reps, "jax", et, retries=1)
-            if left > 130
-            else {"error": "budget exhausted", "fps": 0.0, "frames": 0}
-        )
+        if left <= 130:
+            res_e = {"error": "budget exhausted", "fps": 0.0, "frames": 0}
+        elif not probe_tunnel():
+            res_e = {"error": "tunnel d2h wedged; engine skipped",
+                     "fps": 0.0, "frames": 0}
+        else:
+            res_e = run_child(vec, limit, reps, "jax", et, retries=1)
         e_fps = res_e.get("fps", 0)
         pick, path = (
             (res_e, "engine")

@@ -4300,3 +4300,15 @@ API void sy_load_tmvs(const TmvsCall *p) {
         }
     }
 }
+
+/* ---------------------------------------------------------------------- */
+/* One-time global table init, called once from Python at library load so
+ * per-tile decode threads never race the lazy initializers
+ * (div_lut for warp params, the static intra-edge tree — the analog of
+ * rav1d's const-built IntraEdges::DEFAULT, src/intra_edge.rs:370). */
+
+int32_t sy_global_init(void) {
+    div_lut_init();
+    edge_init();
+    return 0;
+}

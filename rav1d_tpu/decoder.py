@@ -9,6 +9,8 @@ frame-parallel scheduling across hosts lives in rav1d_tpu.parallel.
 
 from __future__ import annotations
 
+import errno
+import sys
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -19,7 +21,13 @@ from .picture import Picture, RefSlot, alloc_picture
 
 
 class DecodeError(ValueError):
-    pass
+    """Decode failure carrying a negative-errno result code (parity:
+    Rav1dError <-> Dav1dResult, src/error.rs). `code` defaults to -EINVAL
+    (malformed bitstream); other sites set -ENOMEM / -ENOPROTOOPT etc."""
+
+    def __init__(self, *args, code: int = -errno.EINVAL):
+        super().__init__(*args)
+        self.code = code
 
 
 def _has_grain(pic):
@@ -34,7 +42,10 @@ def _has_grain(pic):
 
 
 class EAgain(Exception):
-    """Raised when the call cannot make progress (dav1d EAGAIN semantics)."""
+    """Raised when the call cannot make progress (dav1d EAGAIN semantics;
+    result code parity: -EAGAIN, src/error.rs)."""
+
+    code = -errno.EAGAIN
 
 
 @dataclass
@@ -51,6 +62,10 @@ class Settings:
     output_invisible_frames: bool = False
     inloop_filters: int = 7  # bit0 deblock, bit1 cdef+superres, bit2 restoration
     decode_frame_type: int = 0  # 0 all, 1 reference, 2 intra, 3 key
+    # pluggable hooks (parity: Dav1dSettings.logger / .allocator,
+    # src/log.rs:11-50, src/picture.rs:147-225)
+    logger: object = None     # callable(str) -> None; None = stderr
+    allocator: object = None  # picture.PictureAllocator subclass instance
 
 
 @dataclass
@@ -133,6 +148,9 @@ class Decoder:
         # if the broken picture is never materialized (src/lib.rs:875-900
         # cached_error return-once semantics)
         self._cached_error = None
+        self._log = self.settings.logger or (
+            lambda msg: print(msg, file=sys.stderr)
+        )
         from . import engine as _engine
 
         if _engine.enabled():
@@ -219,6 +237,7 @@ class Decoder:
             self.frame_hdr = None
             self.tiles.clear()
             self.n_tiles = 0
+            self._log(f"rav1d: dropping temporal unit: {e}")
             err = e if isinstance(e, DecodeError) else DecodeError(str(e))
             raise err from e
 
@@ -280,6 +299,10 @@ class Decoder:
         self.n_tiles = 0
         self.itut_t35 = None
         for ref in self.refs:
+            if ref.picture is not None:
+                alloc = getattr(ref.picture, "_allocator", None)
+                if alloc is not None:
+                    alloc.release_picture(ref.picture)
             ref.clear()
         self.cdf_slots = [None] * 8
 
@@ -427,7 +450,8 @@ class Decoder:
         # allocate output picture (coded width; superres upscale separate)
         layout = seq_hdr.layout
         f.sr_cur = alloc_picture(
-            frame_hdr.size.width[1], frame_hdr.size.height, layout, bpc
+            frame_hdr.size.width[1], frame_hdr.size.height, layout, bpc,
+            allocator=self.settings.allocator,
         )
         f.sr_cur.frame_hdr = frame_hdr
         f.sr_cur.seq_hdr = seq_hdr
@@ -438,7 +462,8 @@ class Decoder:
         self.itut_t35 = None
         if frame_hdr.size.width[0] != frame_hdr.size.width[1]:
             f.cur = alloc_picture(
-                frame_hdr.size.width[0], frame_hdr.size.height, layout, bpc
+                frame_hdr.size.width[0], frame_hdr.size.height, layout, bpc,
+                allocator=self.settings.allocator,
             )
             f.resize_step[0] = _scale_fac(f.cur.w, f.sr_cur.w)
             ss_hor = 1 if layout != PixelLayout.I444 else 0

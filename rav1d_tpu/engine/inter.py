@@ -112,8 +112,11 @@ def collect_inter(t, f, plan):
     store = f.coef_store
     items = f.work_items
     n = len(items)
-    ends = [items[i + 1].tx_pos if i + 1 < n else store.tx_pos
-            for i in range(n)]
+    ends = [
+        items[i].tx_end if items[i].tx_end is not None
+        else (items[i + 1].tx_pos if i + 1 < n else store.tx_pos)
+        for i in range(n)
+    ]
     wave_blocks = np.zeros(n, bool)
     try:
         for i, wi in enumerate(items):

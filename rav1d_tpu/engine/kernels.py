@@ -116,12 +116,12 @@ def wht_core(cb):
     t = cb >> 2
 
     def wht4(l0, l1, l2, l3):
-        a = l0 + l1
-        d = l3 - l2
-        e = (a - d) >> 1
-        b = e - l1
-        c = e - l2
-        return a - b, b, c, d + c
+        t0 = l0 + l1
+        t2 = l2 - l3
+        t4 = (t0 - t2) >> 1
+        t3 = t4 - l3
+        t1 = t4 - l1
+        return t0 - t3, t3, t1, t2 + t1
 
     # rows (transform over x), then columns (over y)
     r = [t[:, :, i] for i in range(4)]

@@ -505,6 +505,13 @@ def _plan_inter_v3(f, plan, blob, hdr, psz, aw):
 # ------------------------------- filters ---------------------------------
 
 
+def _skip(stage):
+    """RAV1D_ENGINE_SKIP=deblock,cdef,lr,resid,wave,inter — debugging aid:
+    zero the stage's descriptor counts/maps (traced data, so no recompile)
+    to bisect engine-vs-host mismatches per stage."""
+    return stage in os.environ.get("RAV1D_ENGINE_SKIP", "").split(",")
+
+
 def _pack_deblock(f, blob, hdr):
     """Byte-packed final class|level maps (host-resolved: neighbour-level
     fallback + tile fixups; lf_apply.rs:597). Absent deblock points at a
@@ -529,6 +536,8 @@ def _pack_deblock(f, blob, hdr):
         layout != PixelLayout.I400
         and (frame_hdr.loopfilter.level_u or frame_hdr.loopfilter.level_v)
     )
+    if _skip("deblock"):
+        have_y = have_uv = False
     if have_y or have_uv:
         _fix_tile_cols(f)
 
@@ -577,7 +586,7 @@ def _pack_cdef(f, blob, hdr):
     active = any(
         cdef.y_strength[i] or cdef.uv_strength[i]
         for i in range(1 << cdef.n_bits)
-    )
+    ) and not _skip("cdef")
     if not active:
         hdr[CDEF0] = blob.alloc_zeros((nby * nbx + 3) // 4)
         hdr[CDEF0 + 1] = blob.alloc_zeros((nby * nbx + 3) // 4)
@@ -658,6 +667,7 @@ def _collect_lr(f):
                 (x, y, unit_w, stripe_h, xlo, xhi, top0, top1, bot0, bot1) + p
             )
             y += stripe_h
+            have_top = True  # later stripes of a 128px SB row have lpf rows
             stripe_h = min(64 >> ss_ver, row_h - y)
             if stripe_h == 0:
                 break
@@ -725,6 +735,8 @@ _KINDS = ("w", 0, 1, 2)
 
 
 def _pack_lr(f, blob, hdr):
+    if _skip("lr"):
+        return (96, 96)
     groups, lr_ws = _collect_lr(f)
     for (kind, pl), cols in groups.items():
         a = np.asarray(cols, np.int32).T  # (16, n)

@@ -274,6 +274,9 @@ def _load():
         lib = ctypes.CDLL(so)
     except OSError:
         return None
+    lib.sy_global_init.argtypes = []
+    lib.sy_global_init.restype = I32
+    lib.sy_global_init()  # thread-safe lazy-table init (tile threads)
     lib.sy_decode_sb.argtypes = [
         ctypes.POINTER(SyFrameC), ctypes.POINTER(SyTileC),
         ctypes.POINTER(SyTaskC), ctypes.POINTER(SyOutC),
@@ -544,6 +547,34 @@ def build_frame(f) -> tuple[SyFrameC, SyOutC]:
     return sf, out
 
 
+def build_tile_out(store, rec, filt, pal, palidx, b) -> SyOutC:
+    """SyOutC over a tile's disjoint REGIONS of the shared store/arena
+    arrays (tile-parallel syntax): the C core writes tile-local offsets,
+    rebased after the join (recon/frame.py _syntax_tiles_parallel).
+    b: dict of region bases/caps."""
+    out = SyOutC()
+    out.cf = store.cf.ctypes.data + b["cf_b"] * store.cf.itemsize
+    for nm in ("eob", "txtp", "txw", "txh", "cf_off", "txpl", "txx", "txy"):
+        a = getattr(store, nm)
+        setattr(out, nm, a.ctypes.data + b["tx_b"] * a.itemsize)
+    out.cf_pos = 0
+    out.tx_pos = 0
+    out.rec = rec.ctypes.data + b["rec_b"] * rec.itemsize
+    out.n_rec = 0
+    out.rec_cap = b["rec_cap"]
+    out.filt_arena = filt.ctypes.data + b["filt_b"] * filt.itemsize
+    out.filt_pos = 0
+    out.filt_cap = b["filt_cap"]
+    out.pal_arena = pal.ctypes.data + b["pal_b"] * pal.itemsize
+    out.pal_pos = 0
+    out.pal_cap = b["pal_cap"]
+    out.palidx_arena = palidx.ctypes.data + b["palidx_b"] * palidx.itemsize
+    out.palidx_pos = 0
+    out.palidx_cap = b["palidx_cap"]
+    out.error = 0
+    return out
+
+
 def build_tile(sf: SyFrameC, ts) -> SyTileC:
     st = SyTileC()
     st.msac = ctypes.addressof(ts.msac._s)
@@ -597,7 +628,8 @@ def decode_sb(sf, st, stk, out) -> None:
         raise NativeSyntaxError(_ERR_NAMES.get(err, f"native error {err}"))
 
 
-def records_to_work_items(f, tile_states, start: int, end: int):
+def records_to_work_items(f, tile_states, start: int, end: int,
+                          tx_ends=None):
     """Convert BlockRec[start:end] into WorkItem objects (the dense pass's
     input), mirroring decode.py's WorkItem/_snapshot_inter_item fields.
     Columns are batch-extracted via .tolist() (C-speed) so the per-block
@@ -681,6 +713,7 @@ def records_to_work_items(f, tile_states, start: int, end: int):
         wi.l_filter = None
         wi.tx_pos = C["tx_pos"][k]
         wi.cf_pos = C["cf_pos"][k]
+        wi.tx_end = None if tx_ends is None else tx_ends[k]
 
         po = C["pal_off"][k]
         if po >= 0:

@@ -96,17 +96,38 @@ class Picture:
             yield np.ascontiguousarray(self.v[:ch, :cw]).tobytes()
 
 
-def alloc_picture(w: int, h: int, layout: PixelLayout, bpc: int) -> Picture:
+class PictureAllocator:
+    """Pluggable picture allocator (parity: Dav1dPicAllocator,
+    src/picture.rs:147-225). Subclass and pass via
+    Settings.allocator to control plane storage (e.g. pooled or
+    pinned buffers). alloc_plane must return a zeroed (h, w) ndarray of
+    `dtype`; release_picture is called when the decoder drops its last
+    reference (flush/close)."""
+
+    def alloc_plane(self, h: int, w: int, dtype) -> np.ndarray:
+        return np.zeros((h, w), dtype=dtype)
+
+    def release_picture(self, pic: "Picture") -> None:
+        pass
+
+
+_DEFAULT_ALLOCATOR = PictureAllocator()
+
+
+def alloc_picture(w: int, h: int, layout: PixelLayout, bpc: int,
+                  allocator: PictureAllocator | None = None) -> Picture:
     """Allocate a picture with planes padded to 128-pixel alignment.
 
     The default dav1d allocator aligns dimensions to 128 (src/picture.rs:91);
     we also pad so superblock-granular kernels never bounds-check.
     """
+    alloc = allocator or _DEFAULT_ALLOCATOR
     dt = plane_dtype(bpc)
     aw = (w + 127) & ~127
     ah = (h + 127) & ~127
     pic = Picture(w=w, h=h, layout=layout, bpc=bpc)
-    pic.y = np.zeros((ah, aw), dtype=dt)
+    pic._allocator = alloc
+    pic.y = alloc.alloc_plane(ah, aw, dt)
     if layout != PixelLayout.I400:
         ss_hor = 1 if layout != PixelLayout.I444 else 0
         ss_ver = 1 if layout == PixelLayout.I420 else 0
@@ -114,8 +135,8 @@ def alloc_picture(w: int, h: int, layout: PixelLayout, bpc: int) -> Picture:
         ch = (h + ss_ver) >> ss_ver
         acw = (cw + 127) & ~127
         ach = (ch + 127) & ~127
-        pic.u = np.zeros((ach, acw), dtype=dt)
-        pic.v = np.zeros((ach, acw), dtype=dt)
+        pic.u = alloc.alloc_plane(ach, acw, dt)
+        pic.v = alloc.alloc_plane(ach, acw, dt)
     return pic
 
 

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..headers import PixelLayout
@@ -135,28 +137,33 @@ def decode_frame_syntax(ctx, f):
 
     is_inter_or_switch = frame_hdr.frame_type.is_inter_or_switch
     sbrow_marks = []  # (tile_row, sby, work-item end index) per syntax sbrow
-    for tile_row in range(rows):
-        sbh_start = frame_hdr.tiling.row_start_sb[tile_row]
-        sbh_end = min(frame_hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
-        for sby in range(sbh_start, sbh_end):
-            by = sby << f.sb_shift
-            by_end = (by + f.sb_step) >> 1
-            if frame_hdr.use_ref_frame_mvs:
-                _refmvs.load_tmvs(
-                    f.rf, frame_hdr, 0, f.bw >> 1, by >> 1, by_end
-                )
-            for col in range(cols):
-                ts = tile_states[tile_row * cols + col]
-                if ts.msac.cnt < -15:
-                    raise DecodeError("msac overread")
-                if native:
-                    _decode_tile_sbrow_native(t, f, ts, sby, tile_states)
-                else:
-                    t.pal_sz_uv[1] = [0] * 32
-                    decode_tile_sbrow_wrap(t, f, ts, sby)
-            if is_inter_or_switch:
-                _refmvs.save_tmvs(f.rf, 0, f.bw >> 1, by >> 1, by_end)
-            sbrow_marks.append((tile_row, sby, len(f.work_items)))
+    n_threads = ctx.settings.n_threads or (os.cpu_count() or 1)
+    if native and n_threads > 1 and rows * cols > 1:
+        _syntax_tiles_parallel(ctx, f, tile_states, rows, cols,
+                               sbrow_marks, n_threads)
+    else:
+        for tile_row in range(rows):
+            sbh_start = frame_hdr.tiling.row_start_sb[tile_row]
+            sbh_end = min(frame_hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
+            for sby in range(sbh_start, sbh_end):
+                by = sby << f.sb_shift
+                by_end = (by + f.sb_step) >> 1
+                if frame_hdr.use_ref_frame_mvs:
+                    _refmvs.load_tmvs(
+                        f.rf, frame_hdr, 0, f.bw >> 1, by >> 1, by_end
+                    )
+                for col in range(cols):
+                    ts = tile_states[tile_row * cols + col]
+                    if ts.msac.cnt < -15:
+                        raise DecodeError("msac overread")
+                    if native:
+                        _decode_tile_sbrow_native(t, f, ts, sby, tile_states)
+                    else:
+                        t.pal_sz_uv[1] = [0] * 32
+                        decode_tile_sbrow_wrap(t, f, ts, sby)
+                if is_inter_or_switch:
+                    _refmvs.save_tmvs(f.rf, 0, f.bw >> 1, by >> 1, by_end)
+                sbrow_marks.append((tile_row, sby, len(f.work_items)))
 
     f.noskip8 = (
         f.noskip4[0 : f.bh + 32 : 2, 0 : f.bw + 32 : 2]
@@ -396,7 +403,9 @@ def _precompute_wavefront_residuals(f, items, batchable):
     for i, wi in enumerate(items):
         if batchable(wi):
             continue
-        end = items[i + 1].tx_pos if i + 1 < n else store.tx_pos
+        end = wi.tx_end if wi.tx_end is not None else (
+            items[i + 1].tx_pos if i + 1 < n else store.tx_pos
+        )
         for tx in range(wi.tx_pos, end):
             eob = int(store.eob[tx])
             if eob < 0:
@@ -559,8 +568,164 @@ def _decode_tile_sbrow_native(t, f, ts, sby, tile_states):
     from ..native import syntax as _nsy
     from ..syntax.decode import _read_sb_restoration
 
+    out = f._sy_out
+    store = f.coef_store
+    rec_start = out.n_rec
+
+    _sbrow_core(t, f, ts, sby, out, f._sy_task)
+
+    # sync CoefStore cursors with the native output state
+    store.tx_pos = out.tx_pos
+    store.cf_pos = out.cf_pos
+
+    # convert the new records into dense-pass work items
+    f._sy_cur_tile = ts._sy.tile_idx
+    f.work_items.extend(
+        _nsy.records_to_work_items(f, tile_states, rec_start, out.n_rec)
+    )
+
+
+def _syntax_tiles_parallel(ctx, f, tile_states, rows, cols, sbrow_marks,
+                           n_threads):
+    """Tile-parallel syntax plane: every tile's entropy state is
+    independent (src/internal.rs:824-845), so tiles decode on host threads
+    — the C core releases the GIL per superblock call — each writing a
+    DISJOINT region of the shared coefficient store / record arenas.
+    After the join, tile-local offsets are rebased and records merge into
+    decode order (sbrow-major, tile-column order), so every downstream
+    consumer sees exactly the serial data model. Parity: the tile tasks of
+    src/thread_task.rs:178-249 with --threads (lib.rs get_num_threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..native import syntax as _nsy
+    from ..syntax import refmvs as _refmvs
+    from ..syntax.decode import DecodeError, TaskContext
+
     frame_hdr = f.frame_hdr
-    stk = f._sy_task
+    store = f.coef_store
+    is_inter_or_switch = frame_hdr.frame_type.is_inter_or_switch
+
+    # per-tile region budgets (same shape as CoefStore's frame budget)
+    bases = []
+    cf_pos = tx_pos = rec_pos = filt_pos = pal_pos = palidx_pos = 0
+    for ts in tile_states:
+        w4t = ts.col_end - ts.col_start
+        h4t = ts.row_end - ts.row_start
+        pw = (w4t + 16 + 15) & ~15
+        ph = (h4t + 16 + 15) & ~15
+        b = {
+            "cf_b": cf_pos, "cf_cap": pw * ph * 16 * 3 + 1024,
+            "tx_b": tx_pos, "tx_cap": pw * ph * 3 + 64,
+            "rec_b": rec_pos, "rec_cap": w4t * h4t + 1024,
+            "filt_b": filt_pos, "pal_b": pal_pos, "palidx_b": palidx_pos,
+        }
+        b["filt_cap"] = b["rec_cap"] * 80 + 4096
+        b["pal_cap"] = b["rec_cap"] * 24 + 64
+        b["palidx_cap"] = 2 * w4t * h4t * 16 + 8192
+        cf_pos += b["cf_cap"]
+        tx_pos += b["tx_cap"]
+        rec_pos += b["rec_cap"]
+        filt_pos += b["filt_cap"]
+        pal_pos += b["pal_cap"]
+        palidx_pos += b["palidx_cap"]
+        bases.append(b)
+
+    # grow the shared arrays to the sum of regions (per-tile padding makes
+    # this larger than the serial frame budget)
+    if cf_pos > store.cf.size:
+        store.cf = np.zeros(cf_pos, store.cf.dtype)
+    if tx_pos > store.eob.size:
+        for nm, dt in (("eob", np.int32), ("txtp", np.int32),
+                       ("txw", np.int16), ("txh", np.int16),
+                       ("cf_off", np.int64), ("txpl", np.uint8),
+                       ("txx", np.int32), ("txy", np.int32)):
+            setattr(store, nm, np.zeros(tx_pos, dt))
+    store.eob[:] = -1  # region gaps must read as "no coefficients"
+    if rec_pos > f._sy_rec.size:
+        f._sy_rec = np.zeros(rec_pos, dtype=_nsy.BLOCK_REC_DTYPE)
+    if filt_pos > f._sy_filt.size:
+        f._sy_filt = np.zeros(filt_pos, np.uint8)
+    if pal_pos > f._sy_pal.size:
+        f._sy_pal = np.zeros(pal_pos, np.uint16)
+    if palidx_pos > f._sy_palidx.size:
+        f._sy_palidx = np.zeros(palidx_pos, np.uint8)
+    f._sy_out = None  # the serial fast-path mask keys off this
+
+    def run_tile(idx):
+        ts = tile_states[idx]
+        out = _nsy.build_tile_out(store, f._sy_rec, f._sy_filt, f._sy_pal,
+                                  f._sy_palidx, bases[idx])
+        tl = TaskContext(f)
+        stk = _nsy.build_task(tl)
+        marks = []
+        tr = ts.tile_row
+        sbh_start = frame_hdr.tiling.row_start_sb[tr]
+        sbh_end = min(frame_hdr.tiling.row_start_sb[tr + 1], f.sbh)
+        c0, c1 = ts.col_start >> 1, ts.col_end >> 1
+        for sby in range(sbh_start, sbh_end):
+            by = sby << f.sb_shift
+            by_end = (by + f.sb_step) >> 1
+            if frame_hdr.use_ref_frame_mvs:
+                _refmvs.load_tmvs(f.rf, frame_hdr, c0, c1, by >> 1, by_end)
+            if ts.msac.cnt < -15:
+                raise DecodeError("msac overread")
+            rec0 = out.n_rec
+            _sbrow_core(tl, f, ts, sby, out, stk)
+            if is_inter_or_switch:
+                _refmvs.save_tmvs(f.rf, c0, c1, by >> 1, by_end)
+            marks.append((sby, rec0, out.n_rec))
+        return idx, out, marks
+
+    with ThreadPoolExecutor(min(n_threads, len(tile_states))) as ex:
+        results = list(ex.map(run_tile, range(len(tile_states))))
+
+    # rebase tile-local offsets into the shared arrays + store cursors
+    ends_by_tile = {}
+    rows_by_tile = {}
+    for idx, out, marks in results:
+        b = bases[idx]
+        n = out.n_rec
+        r = f._sy_rec[b["rec_b"] : b["rec_b"] + n]
+        r["cf_pos"] += b["cf_b"]
+        r["tx_pos"] += b["tx_b"]
+        for nm in ("afilter_off", "pal_off", "palidx_off"):
+            v = r[nm]
+            base = {"afilter_off": b["filt_b"], "pal_off": b["pal_b"],
+                    "palidx_off": b["palidx_b"]}[nm]
+            r[nm] = np.where(v >= 0, v + base, v)
+        store.cf_off[b["tx_b"] : b["tx_b"] + out.tx_pos] += b["cf_b"]
+        store.tx_pos = max(store.tx_pos, b["tx_b"] + out.tx_pos)
+        store.cf_pos = max(store.cf_pos, b["cf_b"] + out.cf_pos)
+        ends_by_tile[idx] = np.append(
+            r["tx_pos"][1:], b["tx_b"] + out.tx_pos
+        ).tolist()
+        rows_by_tile[idx] = {sby: (lo, hi) for sby, lo, hi in marks}
+
+    # merge records into decode order (sbrow-major, tile-column order)
+    for tr in range(rows):
+        sbh_start = frame_hdr.tiling.row_start_sb[tr]
+        sbh_end = min(frame_hdr.tiling.row_start_sb[tr + 1], f.sbh)
+        for sby in range(sbh_start, sbh_end):
+            for col in range(cols):
+                idx = tr * cols + col
+                lo, hi = rows_by_tile[idx][sby]
+                gb = bases[idx]["rec_b"]
+                f._sy_cur_tile = idx
+                f.work_items.extend(_nsy.records_to_work_items(
+                    f, tile_states, gb + lo, gb + hi,
+                    tx_ends=ends_by_tile[idx][lo:hi],
+                ))
+            sbrow_marks.append((tr, sby, len(f.work_items)))
+
+
+def _sbrow_core(t, f, ts, sby, out, stk):
+    """One tile-sbrow through the native core into `out`/`stk` (no shared
+    cursors: usable from per-tile threads; recon/frame.py tile-parallel
+    syntax). Parity: rav1d_decode_tile_sbrow, src/decode.rs:3853."""
+    from ..native import syntax as _nsy
+    from ..syntax.decode import _read_sb_restoration
+
+    frame_hdr = f.frame_hdr
     sb_step = f.sb_step
     t.by = sby << f.sb_shift
     stk.by = t.by
@@ -573,10 +738,6 @@ def _decode_tile_sbrow_native(t, f, ts, sby, tile_states):
     reset_context(t.l_np, not frame_hdr.frame_type.is_inter_or_switch, 0)
     t.pal_sz_uv_np[1][:] = 0
 
-    out = f._sy_out
-    store = f.coef_store
-    rec_start = out.n_rec
-
     t.bx = ts.col_start
     while t.bx < ts.col_end:
         _read_sb_restoration(t, f, ts, sb_step)
@@ -584,10 +745,6 @@ def _decode_tile_sbrow_native(t, f, ts, sby, tile_states):
         stk.by = t.by
         _nsy.decode_sb(f._sy_frame, ts._sy, stk, out)
         t.bx += sb_step
-
-    # sync CoefStore cursors with the native output state
-    store.tx_pos = out.tx_pos
-    store.cf_pos = out.cf_pos
 
     # tile right-edge tx_lpf backup (decode.rs:4540)
     layout = f.cur.layout
@@ -601,12 +758,6 @@ def _decode_tile_sbrow_native(t, f, ts, sby, tile_states):
     f.tx_lpf_right_edge[1][
         ts.tile_col, (t.by >> ss_ver) : (t.by >> ss_ver) + cstep
     ] = lnp.tx_lpf_uv[(off >> ss_ver) : (off >> ss_ver) + cstep]
-
-    # convert the new records into dense-pass work items
-    f._sy_cur_tile = ts._sy.tile_idx
-    f.work_items.extend(
-        _nsy.records_to_work_items(f, tile_states, rec_start, out.n_rec)
-    )
 
 
 def _backup_ipred_edges(f, tile_states, tile_row, cols, sby):
@@ -769,9 +920,14 @@ def _emit_batch_itx_from_store(f, items, batchable):
     starts = np.fromiter(
         (wi.tx_pos for wi in items), dtype=np.int64, count=n
     )
-    ends = np.empty(n, dtype=np.int64)
-    ends[:-1] = starts[1:]
-    ends[-1] = ntx
+    if items[0].tx_end is not None:
+        ends = np.fromiter(
+            (wi.tx_end for wi in items), dtype=np.int64, count=n
+        )
+    else:
+        ends = np.empty(n, dtype=np.int64)
+        ends[:-1] = starts[1:]
+        ends[-1] = ntx
     bsel = np.fromiter((batchable(wi) for wi in items), dtype=bool, count=n)
     d = np.zeros(ntx + 1, dtype=np.int32)
     np.add.at(d, starts[bsel], 1)

@@ -29,7 +29,9 @@ class CoefStore:
         cap_tx = pw * ph * layout_mult + 64
         cap_cf = pw * ph * 16 * layout_mult + 1024
         self.cf = np.zeros(cap_cf, dtype=np.int32)
-        self.eob = np.zeros(cap_tx, dtype=np.int32)
+        # -1 = no coefficients; tile-parallel syntax leaves gaps between
+        # per-tile store regions, and every consumer filters on eob >= 0
+        self.eob = np.full(cap_tx, -1, dtype=np.int32)
         self.txtp = np.zeros(cap_tx, dtype=np.int32)
         self.txw = np.zeros(cap_tx, dtype=np.int16)  # pixel dims for batching
         self.txh = np.zeros(cap_tx, dtype=np.int16)
@@ -102,6 +104,7 @@ class WorkItem:
         "l_filter",
         "tx_pos",
         "cf_pos",
+        "tx_end",  # end of this block's tx range (None: next item's tx_pos)
     )
 
     def __init__(self, kind, t, ts, bs, b):
@@ -122,3 +125,4 @@ class WorkItem:
         self.l_filter = None
         self.tx_pos = 0
         self.cf_pos = 0
+        self.tx_end = None
