@@ -495,7 +495,9 @@ def _plan_inter_v3(f, plan, blob, hdr, psz, aw):
                 else:
                     moff, mrs, mcs = mo + tx, 0, 1
                 blend_cols[kind].append((row, flat0, moff, mrs, mcs, tw, th))
-    _pack_slot(blob, hdr, "blend", blend_cols["h"] + blend_cols["v"], NBLEND)
+    if not _skip("obmc"):
+        _pack_slot(blob, hdr, "blend", blend_cols["h"] + blend_cols["v"],
+                   NBLEND)
 
     if hmask_parts:
         hdr[IH0] = blob.add_words(np.concatenate(hmask_parts))
