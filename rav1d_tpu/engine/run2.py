@@ -496,8 +496,25 @@ def _plan_inter_v3(f, plan, blob, hdr, psz, aw):
                     moff, mrs, mcs = mo + tx, 0, 1
                 blend_cols[kind].append((row, flat0, moff, mrs, mcs, tw, th))
     if not _skip("obmc"):
-        _pack_slot(blob, hdr, "blend", blend_cols["h"] + blend_cols["v"],
-                   NBLEND)
+        # A chunk's tiles all read pf BEFORE any of the chunk's writes, so
+        # overlapping blends must land in different chunks. The only
+        # overlaps are a block's own top-lap x left-lap corner (top rows x
+        # left cols), so: all top blends, pad to a chunk boundary, then
+        # all left blends — left corners then read post-top-blend pixels,
+        # exactly the host's per-block h-then-v order.
+        hc, nh = _chunked(
+            list(np.asarray(blend_cols["h"], np.int32).T), 
+            len(blend_cols["h"]), TB,
+        ) if blend_cols["h"] else (np.zeros((0, NBLEND, TB), np.int32), 0)
+        vc, nv = _chunked(
+            list(np.asarray(blend_cols["v"], np.int32).T),
+            len(blend_cols["v"]), TB,
+        ) if blend_cols["v"] else (np.zeros((0, NBLEND, TB), np.int32), 0)
+        if nh or nv:
+            hdr[INTER0 + 2 * SLOTS["blend"]] = blob.add_words(
+                np.concatenate([hc, vc])
+            )
+            hdr[INTER0 + 2 * SLOTS["blend"] + 1] = nh + nv
 
     if hmask_parts:
         hdr[IH0] = blob.add_words(np.concatenate(hmask_parts))
