@@ -783,6 +783,36 @@ def _stack(srcs, pad_to):
 
 
 _TRACE = os.environ.get("RAV1D_ENGINE_TRACE") == "1"
+# RAV1D_ENGINE_TRACE=2: additionally block after each program and report
+# per-program device execution time (separates exec from transfer cost)
+_TRACE2 = os.environ.get("RAV1D_ENGINE_TRACE") == "2"
+# RAV1D_ENGINE_CAPTURE=<dir>: dump each frame's packed blob + program args
+# to <dir>/frame<N>.npz for offline per-stage ablation (tools_py/ablate.py)
+_CAPTURE = os.environ.get("RAV1D_ENGINE_CAPTURE")
+_capture_n = [0]
+
+
+def _capture_frame(f, plan, blob, hdr, srcs, extra):
+    buf = np.zeros(blob.pos, np.int32)
+    buf[: hdr.size] = hdr
+    for off, a in blob.parts:
+        buf[off : off + a.size] = a
+    for off, n in blob.zparts:
+        buf[off : off + n] = 0
+    kw = dict(extra)
+    if srcs is not None:
+        srcsY, srcsC = srcs
+        kw["nsrcY"] = len(srcsY)
+        kw["nsrcC"] = len(srcsC)
+        for i, (pic, pl) in enumerate(srcsY):
+            kw[f"srcY{i}"] = np.asarray((pic.y, pic.u, pic.v)[pl])
+        for i, (pic, pl) in enumerate(srcsC):
+            kw[f"srcC{i}"] = np.asarray((pic.y, pic.u, pic.v)[pl])
+    np.savez_compressed(
+        os.path.join(_CAPTURE, "frame%03d.npz" % _capture_n[0]),
+        buf=buf, hdr=hdr, **kw,
+    )
+    _capture_n[0] += 1
 
 # cumulative per-stage wall time (ms) across all engine frames of the
 # process — the bench reports this split (VERDICT r3 weak #7)
@@ -830,10 +860,33 @@ def execute(f, plan):
     lr_ws = _pack_lr(f, blob, hdr)
     t_pack = time.perf_counter()
 
+    if _CAPTURE:
+        need_sr_ = f.frame_hdr.size.width[0] != f.frame_hdr.size.width[1]
+        _capture_frame(
+            f, plan, blob, hdr, srcs,
+            dict(ah=ah, aw=aw, bpc=bpc, layout=int(layout),
+                 ss_hor=ss_hor, ss_ver=ss_ver, lr_ws=np.asarray(lr_ws),
+                 need_sr=int(need_sr_), w=f.cur.w, h=f.cur.h,
+                 bw=f.bw, bh=f.bh),
+        )
+
     dev, _cap = blob.upload(hdr, hwm_key=(ah, aw, bpc, int(layout)))
     t_up = time.perf_counter()
 
+    def _t2(tag, val):
+        if _TRACE2:
+            import time as _time
+
+            import jax
+
+            t = _time.perf_counter()
+            jax.block_until_ready(val)
+            print("[engine2] %s %.1f ms" % (tag, (_time.perf_counter() - t) * 1e3),
+                  flush=True)
+
+    _t2("upload-sync", dev)
     ra, planes = resid_prog(dev, ah=ah, aw=aw, bpc=bpc)
+    _t2("resid", planes)
     if srcs is not None:
         srcsY, srcsC = srcs
         stackY = _stack(srcsY, 8)
@@ -849,8 +902,10 @@ def execute(f, plan):
         planes = inter_prog(planes, ra, dev, stackY, stackC, ah=ah, aw=aw,
                             bpc=bpc, vwY=f.cur.w, vhY=f.cur.h, vwC=vwC,
                             vhC=vhC)
+        _t2("inter", planes)
     planes = wave_prog(planes, ra, dev, ah=ah, aw=aw, bpc=bpc,
                        ss_hor=ss_hor, ss_ver=ss_ver)
+    _t2("wave", planes)
 
     out_pic = f.sr_cur
     if out_pic.u is not None:
@@ -868,6 +923,7 @@ def execute(f, plan):
         planes, dev, geom=geom, bpc=bpc, layout_i=int(layout),
         need_sr=need_sr, sr_geom=sr_geom, lr_ws=lr_ws,
     )
+    _t2("filter", packed)
 
     out_pic._dev_planes = {0: dev_out[0]}
     if out_pic.u is not None:

@@ -88,26 +88,35 @@ def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz,
     m3 = modes[:, None, None]
     pxmax = (1 << bpc) - 1
 
-    out = D.dc_dyn(edge, C, CW, CH, w, h, bpc)
+    # optimization_barrier around every mode kernel: left to itself XLA
+    # fuses the whole 14-way select chain into one degenerate scalarized
+    # mega-loop (measured 49 ms for a (64,16,16) step on v5e vs ~1 ms for
+    # the same kernels compiled separately). The barrier keeps each mode a
+    # clean vectorized kernel; the selects afterwards are elementwise.
+    bar = jax.lax.optimization_barrier
+
+    out = bar(D.dc_dyn(edge, C, CW, CH, w, h, bpc))
     for code, fn in _BASE_FNS[1:]:
-        out = jnp.where(m3 == code, fn(edge, C, CW, CH, w, h, bpc), out)
+        out = jnp.where(m3 == code, bar(fn(edge, C, CW, CH, w, h, bpc)), out)
     if "z" in feats:
         out = jnp.where(
-            m3 == Z1_PRED, D.z1_dyn(edge, C, CW, CH, w, h, bpc, angles), out
-        )
-        out = jnp.where(
-            m3 == Z2_PRED,
-            D.z2_dyn(edge, C, CW, CH, w, h, bpc, angles,
-                     d["z2mw"], d["z2mh"], d["z2sm"]),
+            m3 == Z1_PRED, bar(D.z1_dyn(edge, C, CW, CH, w, h, bpc, angles)),
             out,
         )
         out = jnp.where(
-            m3 == Z3_PRED, D.z3_dyn(edge, C, CW, CH, w, h, bpc, angles), out
+            m3 == Z2_PRED,
+            bar(D.z2_dyn(edge, C, CW, CH, w, h, bpc, angles,
+                         d["z2mw"], d["z2mh"], d["z2sm"])),
+            out,
+        )
+        out = jnp.where(
+            m3 == Z3_PRED, bar(D.z3_dyn(edge, C, CW, CH, w, h, bpc, angles)),
+            out,
         )
     if "filter" in feats:
         out = jnp.where(
             m3 == FILTER_PRED,
-            D.filter_dyn(edge, C, CW, CH, w, h, bpc, angles),
+            bar(D.filter_dyn(edge, C, CW, CH, w, h, bpc, angles)),
             out,
         )
 
@@ -123,11 +132,11 @@ def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz,
         ldx = jnp.arange(CW << ss_hor)[None, None, :]
         lidx = d["cfl0"][:, None, None] + ldy + ldx
         ypx = pf[jnp.clip(lidx, 0, pf.shape[0] - 1)]
-        ac = D.cfl_ac_dyn(ypx, CW, CH, w, h, ss_hor, ss_ver,
-                          d["cflwp"], d["cflhp"])
+        ac = bar(D.cfl_ac_dyn(ypx, CW, CH, w, h, ss_hor, ss_ver,
+                              d["cflwp"], d["cflhp"]))
         for code, fn in _CFL_DC_FNS.items():
             dc = fn(edge, C, CW, CH, w, h, bpc)[:, 0, 0]
-            pred = D.cfl_pred_dyn(dc, ac, d["cfla"], bpc)
+            pred = bar(D.cfl_pred_dyn(dc, ac, d["cfla"], bpc))
             out = jnp.where(m3 == code, pred, out)
 
     if "ii" in feats:
@@ -137,7 +146,9 @@ def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz,
         moff = d["iioff"]
         dyl = jnp.arange(CH)[None, :, None]
         dxl = jnp.arange(CW)[None, None, :]
-        midx = mask_base + moff[:, None, None] + dyl * w[:, None, None] + dxl
+        # masks packed at class-width stride (inter.py _ii_mask_flat):
+        # constant stride keeps this an affine (fast) gather
+        midx = mask_base + moff[:, None, None] + dyl * CW + dxl
         m = maskbuf[jnp.clip(midx, 0, maskbuf.shape[0] - 1)]
         blended = (own * (64 - m) + out * m + 32) >> 6
         out = jnp.where((moff >= 0)[:, None, None], blended, out)
