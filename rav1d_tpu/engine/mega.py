@@ -215,18 +215,32 @@ def wave_prog(planes, ra, dev, *, ah, aw, bpc, ss_hor, ss_ver):
     LS = CAP[1] * (ELL + N_FIELDS)
 
     def body(i, pf):
+        # each class step is skipped entirely (lax.cond) on waves with no
+        # items of that class — wcount packed on lane 0 by run2._pack_class
         sb = jax.lax.dynamic_slice(dev, (sbase + i * SS,), (SS,)).reshape(
             CAP[0], ELS + N_FIELDS
         )
         d = _unpack_blob(sb, ELS)
-        pf = _class_step(pf, resid, d, CLS_S[0], CLS_S[1], bpc, WAVE_FEATS,
-                         ss_hor, ss_ver, aw, psz, dev, mask_base)
+        pf = jax.lax.cond(
+            d["wcount"][0] > 0,
+            lambda pf, d=d: _class_step(pf, resid, d, CLS_S[0], CLS_S[1],
+                                        bpc, WAVE_FEATS, ss_hor, ss_ver, aw,
+                                        psz, dev, mask_base),
+            lambda pf: pf,
+            pf,
+        )
         lb = jax.lax.dynamic_slice(dev, (lbase + i * LS,), (LS,)).reshape(
             CAP[1], ELL + N_FIELDS
         )
         d = _unpack_blob(lb, ELL)
-        pf = _class_step(pf, resid, d, CLS_L[0], CLS_L[1], bpc, WAVE_FEATS,
-                         ss_hor, ss_ver, aw, psz, dev, mask_base)
+        pf = jax.lax.cond(
+            d["wcount"][0] > 0,
+            lambda pf, d=d: _class_step(pf, resid, d, CLS_L[0], CLS_L[1],
+                                        bpc, WAVE_FEATS, ss_hor, ss_ver, aw,
+                                        psz, dev, mask_base),
+            lambda pf: pf,
+            pf,
+        )
         return pf
 
     pf = jax.lax.fori_loop(0, nw, body, pf)

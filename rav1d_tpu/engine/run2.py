@@ -28,7 +28,7 @@ from .mega import (
     NPUT, NWARP, PAL0, PAL_B, R0, SIZES, SLOTS, SR0, TB, WAVE0, WHT0, WHT_B,
     filter_prog, inter_prog, resid_prog, wave_prog,
 )
-from .plan import CAP, CLS_L, CLS_S, MODE_CFL_DC, item_class
+from .plan import CAP, CLS_L, CLS_S, MODE_CFL_DC, MODE_IDENT, item_class
 
 SIZE_IDX = {wh: i for i, wh in enumerate(SIZES)}
 
@@ -164,8 +164,12 @@ def _pack_palette(blob, hdr, plan, psz, aw):
 
 def _pack_class(items, NW, B, EL, psz):
     """Pack one class's wave items into (NW, B, EL + N_FIELDS) int32 rows
-    (layout in wave2.FIELDS)."""
-    from .wave2 import FIELDS, N_FIELDS
+    (layout in wave2.FIELDS). Lane 0 carries the per-wave feature flags
+    and item count that let the device cond-skip absent features."""
+    from ..syntax.levels import FILTER_PRED, Z1_PRED, Z2_PRED, Z3_PRED
+    from .wave2 import (
+        F_CFL, F_FILTER, F_IDENT, F_II, F_Z, FIELDS, N_FIELDS,
+    )
 
     blob = np.zeros((NW, B, EL + N_FIELDS), np.int32)
     blob[:, :, :EL] = -1  # coords default: constant 0
@@ -175,6 +179,7 @@ def _pack_class(items, NW, B, EL, psz):
     blob[:, :, fi["h"]] = 4
     blob[:, :, fi["iioff"]] = -1
     fill = np.zeros(NW, np.int32)
+    wflags = np.zeros(NW, np.int32)
     for it, aw in items:
         wv = it.wave - 1
         k = fill[wv]
@@ -191,11 +196,22 @@ def _pack_class(items, NW, B, EL, psz):
         row[fi["w"]] = it.w
         row[fi["h"]] = it.h
         row[fi["iioff"]] = it.iioff
+        if it.mode in (Z1_PRED, Z2_PRED, Z3_PRED):
+            wflags[wv] |= F_Z
+        elif it.mode == FILTER_PRED:
+            wflags[wv] |= F_FILTER
+        elif it.mode == MODE_IDENT:
+            wflags[wv] |= F_IDENT
+        if it.iioff >= 0:
+            wflags[wv] |= F_II
         if it.mode >= MODE_CFL_DC:
+            wflags[wv] |= F_CFL
             row[fi["cfla"]] = it.cfl_alpha
             row[fi["cfl0"]] = it.cfl_ly * aw + it.cfl_lx
             row[fi["cflwp"]] = it.cfl_wpad
             row[fi["cflhp"]] = it.cfl_hpad
+    blob[:, 0, fi["wflags"]] = wflags
+    blob[:, 0, fi["wcount"]] = fill
     return blob
 
 

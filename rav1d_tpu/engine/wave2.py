@@ -80,9 +80,9 @@ def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz,
     w = d["w"]
     h = d["h"]
     coords = d["coords"]
-    edge = jnp.where(
+    edge = jax.lax.optimization_barrier(jnp.where(
         coords < 0, -coords - 1, pf[jnp.clip(coords, 0, pf.shape[0] - 1)]
-    )
+    ))
     modes = d["modes"]
     angles = d["angles"]
     m3 = modes[:, None, None]
@@ -98,62 +98,89 @@ def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz,
     out = bar(D.dc_dyn(edge, C, CW, CH, w, h, bpc))
     for code, fn in _BASE_FNS[1:]:
         out = jnp.where(m3 == code, bar(fn(edge, C, CW, CH, w, h, bpc)), out)
+    # rare/expensive features run under lax.cond on host-packed per-wave
+    # presence flags: a wave without (say) FILTER_PRED never executes its
+    # sequential sub-block scan (measured 3.7 ms/step on v5e)
+    wflags = d.get("wflags")
+    flags = wflags[0] if wflags is not None else None
+
+    def gated(bit, fn, out):
+        if flags is None:
+            return fn(out)
+        return jax.lax.cond(flags & bit != 0, fn, lambda o: o, out)
+
     if "z" in feats:
-        out = jnp.where(
-            m3 == Z1_PRED, bar(D.z1_dyn(edge, C, CW, CH, w, h, bpc, angles)),
-            out,
-        )
-        out = jnp.where(
-            m3 == Z2_PRED,
-            bar(D.z2_dyn(edge, C, CW, CH, w, h, bpc, angles,
-                         d["z2mw"], d["z2mh"], d["z2sm"])),
-            out,
-        )
-        out = jnp.where(
-            m3 == Z3_PRED, bar(D.z3_dyn(edge, C, CW, CH, w, h, bpc, angles)),
-            out,
-        )
+        def with_z(out):
+            o = jnp.where(
+                m3 == Z1_PRED,
+                bar(D.z1_dyn(edge, C, CW, CH, w, h, bpc, angles)), out,
+            )
+            o = jnp.where(
+                m3 == Z2_PRED,
+                bar(D.z2_dyn(edge, C, CW, CH, w, h, bpc, angles,
+                             d["z2mw"], d["z2mh"], d["z2sm"])),
+                o,
+            )
+            return jnp.where(
+                m3 == Z3_PRED,
+                bar(D.z3_dyn(edge, C, CW, CH, w, h, bpc, angles)), o,
+            )
+
+        out = gated(F_Z, with_z, out)
     if "filter" in feats:
-        out = jnp.where(
-            m3 == FILTER_PRED,
-            bar(D.filter_dyn(edge, C, CW, CH, w, h, bpc, angles)),
-            out,
-        )
+        def with_filter(out):
+            return jnp.where(
+                m3 == FILTER_PRED,
+                bar(D.filter_dyn(edge, C, CW, CH, w, h, bpc, angles)),
+                out,
+            )
+
+        out = gated(F_FILTER, with_filter, out)
 
     dy = jnp.arange(CH)[None, :, None] * aw
     dx = jnp.arange(CW)[None, None, :]
     idx = d["flat0"][:, None, None] + dy + dx
 
     if "ident" in feats:
-        own = pf[jnp.clip(idx, 0, pf.shape[0] - 1)]
-        out = jnp.where(m3 == MODE_IDENT, own, out)
+        def with_ident(out):
+            own = bar(pf[jnp.clip(idx, 0, pf.shape[0] - 1)])
+            return jnp.where(m3 == MODE_IDENT, own, out)
+
+        out = gated(F_IDENT, with_ident, out)
     if "cfl" in feats:
-        ldy = jnp.arange(CH << ss_ver)[None, :, None] * aw
-        ldx = jnp.arange(CW << ss_hor)[None, None, :]
-        lidx = d["cfl0"][:, None, None] + ldy + ldx
-        ypx = pf[jnp.clip(lidx, 0, pf.shape[0] - 1)]
-        ac = bar(D.cfl_ac_dyn(ypx, CW, CH, w, h, ss_hor, ss_ver,
-                              d["cflwp"], d["cflhp"]))
-        for code, fn in _CFL_DC_FNS.items():
-            dc = fn(edge, C, CW, CH, w, h, bpc)[:, 0, 0]
-            pred = bar(D.cfl_pred_dyn(dc, ac, d["cfla"], bpc))
-            out = jnp.where(m3 == code, pred, out)
+        def with_cfl(out):
+            ldy = jnp.arange(CH << ss_ver)[None, :, None] * aw
+            ldx = jnp.arange(CW << ss_hor)[None, None, :]
+            lidx = d["cfl0"][:, None, None] + ldy + ldx
+            ypx = bar(pf[jnp.clip(lidx, 0, pf.shape[0] - 1)])
+            ac = bar(D.cfl_ac_dyn(ypx, CW, CH, w, h, ss_hor, ss_ver,
+                                  d["cflwp"], d["cflhp"]))
+            for code, fn in _CFL_DC_FNS.items():
+                dc = fn(edge, C, CW, CH, w, h, bpc)[:, 0, 0]
+                pred = bar(D.cfl_pred_dyn(dc, ac, d["cfla"], bpc))
+                out = jnp.where(m3 == code, pred, out)
+            return out
+
+        out = gated(F_CFL, with_cfl, out)
 
     if "ii" in feats:
-        # interintra: blend the intra prediction over the block's inter
-        # pixels by the mask table (recon.rs recon_b_inter interintra)
-        own = pf[jnp.clip(idx, 0, pf.shape[0] - 1)]
-        moff = d["iioff"]
-        dyl = jnp.arange(CH)[None, :, None]
-        dxl = jnp.arange(CW)[None, None, :]
-        # masks packed at class-width stride (inter.py _ii_mask_flat):
-        # constant stride keeps this an affine (fast) gather
-        midx = mask_base + moff[:, None, None] + dyl * CW + dxl
-        m = maskbuf[jnp.clip(midx, 0, maskbuf.shape[0] - 1)]
-        blended = (own * (64 - m) + out * m + 32) >> 6
-        out = jnp.where((moff >= 0)[:, None, None], blended, out)
+        def with_ii(out):
+            # interintra: blend the intra prediction over the block's
+            # inter pixels by the mask table (recon.rs recon_b_inter)
+            own = bar(pf[jnp.clip(idx, 0, pf.shape[0] - 1)])
+            moff = d["iioff"]
+            dyl = jnp.arange(CH)[None, :, None]
+            dxl = jnp.arange(CW)[None, None, :]
+            # masks packed at class-width stride (inter.py _ii_mask_flat):
+            # constant stride keeps this an affine (fast) gather
+            midx = mask_base + moff[:, None, None] + dyl * CW + dxl
+            m = bar(maskbuf[jnp.clip(midx, 0, maskbuf.shape[0] - 1)])
+            blended = (own * (64 - m) + out * m + 32) >> 6
+            return jnp.where((moff >= 0)[:, None, None], blended, out)
 
-    res = resid[jnp.clip(idx, 0, resid.shape[0] - 1)]
+        out = gated(F_II, with_ii, out)
+
+    res = bar(resid[jnp.clip(idx, 0, resid.shape[0] - 1)])
     out = jnp.where(
         d["rmask"][:, None, None], jnp.clip(out + res, 0, pxmax), out
     )
@@ -164,12 +191,24 @@ def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz,
     return pf.at[idx].set(out, mode="drop")
 
 
-# blob layout: one int32 row per item = [coords(EL) | 13 scalar fields];
+# blob layout: one int32 row per item = [coords(EL) | scalar fields];
 # a single upload per class per frame (the tunnel's per-transfer latency
-# dwarfs bandwidth, so N small uploads lose badly to 1 packed one)
+# dwarfs bandwidth, so N small uploads lose badly to 1 packed one).
+# `wflags`/`wcount` are per-WAVE values stored on lane 0: the feature
+# presence bitmask and the filled item count, read by the device step to
+# lax.cond-skip expensive rare features (filter intra's sequential scan,
+# the z gathers, cfl, interintra) on waves that do not contain them.
 FIELDS = ("modes", "angles", "flat0", "rmask", "z2mw", "z2mh", "z2sm",
-          "cfla", "cfl0", "cflwp", "cflhp", "w", "h", "iioff")
+          "cfla", "cfl0", "cflwp", "cflhp", "w", "h", "iioff",
+          "wflags", "wcount")
 N_FIELDS = len(FIELDS)
+
+# wflags bits
+F_Z = 1
+F_FILTER = 2
+F_CFL = 4
+F_IDENT = 8
+F_II = 16
 
 
 def _unpack_blob(blob, EL):
