@@ -175,7 +175,7 @@ def _emit_ii_items(plan, t, f, wi, tx_end):
     is already in the planes from the batch phase); residual txs become
     MODE_IDENT wave items (recon.rs recon_b_inter interintra section)."""
     from ..headers import PixelLayout
-    from .plan import MODE_IDENT, _alloc_coords, _emit, plan_edges
+    from .plan import MODE_IDENT, _emit, plan_edges
 
     b = wi.b
     bs = wi.bs
@@ -201,15 +201,14 @@ def _emit_ii_items(plan, t, f, wi, tx_end):
 
     def emit_one(pl, x4, y4, w4, h4, cs, ce, rs, re, mask):
         w_px, h_px = 4 * w4, 4 * h4
-        coords, coff = _alloc_coords(w4, h4)
         have_left = x4 > cs
         have_top = y4 > rs
-        m, angle, sm_tl = plan_edges(
-            coords, coff, x4, have_left, y4, have_top, ce, re, 0,
-            pl * psz, aw, mode, 0, w4, h4, 0, bpc,
+        m, angle, sm_tl, ep = plan_edges(
+            x4, have_left, y4, have_top, ce, re, 0,
+            mode, 0, w4, h4, 0,
         )
         it = _emit(plan, f, pl, 4 * x4, 4 * y4, w_px, h_px, m, angle, -1,
-                   coords, sm_tl, have_top=have_top, have_left=have_left)
+                   ep, sm_tl, have_top=have_top, have_left=have_left)
         from .plan import CLS_L, CLS_S, item_class
 
         cw_cls = (CLS_S if item_class(w_px, h_px) == 0 else CLS_L)[0]
@@ -244,7 +243,6 @@ def _emit_ii_items(plan, t, f, wi, tx_end):
             continue
         w_px = int(store.txw[tx])
         h_px = int(store.txh[tx])
-        coords, _ = _alloc_coords(w_px >> 2, h_px >> 2)
         _emit(plan, f, int(store.txpl[tx]), int(store.txx[tx]),
-              int(store.txy[tx]), w_px, h_px, MODE_IDENT, 0, tx, coords,
+              int(store.txy[tx]), w_px, h_px, MODE_IDENT, 0, tx, None,
               False)

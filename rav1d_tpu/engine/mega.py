@@ -209,18 +209,16 @@ def wave_prog(planes, ra, dev, *, ah, aw, bpc, ss_hor, ss_ver):
     sbase = dev[WAVE0 + 1]
     lbase = dev[WAVE0 + 2]
     mask_base = dev[WAVE0 + 3]
-    ELS = 2 * CLS_S[1] + 1 + 2 * CLS_S[0]
-    ELL = 2 * CLS_L[1] + 1 + 2 * CLS_L[0]
-    SS = CAP[0] * (ELS + N_FIELDS)
-    LS = CAP[1] * (ELL + N_FIELDS)
+    SS = CAP[0] * N_FIELDS
+    LS = CAP[1] * N_FIELDS
 
     def body(i, pf):
         # each class step is skipped entirely (lax.cond) on waves with no
         # items of that class — wcount packed on lane 0 by run2._pack_class
         sb = jax.lax.dynamic_slice(dev, (sbase + i * SS,), (SS,)).reshape(
-            CAP[0], ELS + N_FIELDS
+            CAP[0], N_FIELDS
         )
-        d = _unpack_blob(sb, ELS)
+        d = _unpack_blob(sb)
         pf = jax.lax.cond(
             d["wcount"][0] > 0,
             lambda pf, d=d: _class_step(pf, resid, d, CLS_S[0], CLS_S[1],
@@ -230,9 +228,9 @@ def wave_prog(planes, ra, dev, *, ah, aw, bpc, ss_hor, ss_ver):
             pf,
         )
         lb = jax.lax.dynamic_slice(dev, (lbase + i * LS,), (LS,)).reshape(
-            CAP[1], ELL + N_FIELDS
+            CAP[1], N_FIELDS
         )
-        d = _unpack_blob(lb, ELL)
+        d = _unpack_blob(lb)
         pf = jax.lax.cond(
             d["wcount"][0] > 0,
             lambda pf, d=d: _class_step(pf, resid, d, CLS_L[0], CLS_L[1],
@@ -268,114 +266,137 @@ def _chunks(dev, name, rows, body, state):
 
 
 def _put_out(stack, d, vw, vh, bpc):
-    """All put variants of one tile chunk — 8-tap h+v / h / v / copy and
-    bilinear — computed from ONE 15x15 gather and selected per tile by the
-    subpel phases + bilin flag (put_8tap_rust:130 / put_bilin_rust:431)."""
+    """One put tile chunk. Chunks are case-pure (descriptor row 11 = case,
+    set host-side by run2.add_put): 0 = 8-tap h+v, 1 = h only, 2 = v only,
+    3 = copy, 4 = bilinear — lax.switch runs ONLY that case's gather +
+    filter (put_8tap_rust:130 / put_bilin_rust:431). The old select-of-
+    all-variants form computed ~5x the needed work per tile."""
     from ..ops.ref.mc import intermediate_bits
 
     ib = intermediate_bits(bpc)
     pxmax = (1 << bpc) - 1
-    win = _gather(stack, d[D_SROW], d[D_SY] - 3, 15, d[D_SX] - 3, 15, vw, vh)
-    dd = [d[r] for r in range(11)]
-    dd[D_MX] = jnp.maximum(d[D_MX], 1)
-    dd[D_MY] = jnp.maximum(d[D_MY], 1)
-    fh, fv = _filters(dd, None, None)
-
-    # 8-tap h+v
-    mid = jnp.zeros((win.shape[0], 15, 8), jnp.int32)
-    for k in range(8):
-        mid = mid + fh[:, k, None, None] * win[:, :, k : k + 8]
     sh = 6 - ib
-    mid = _i16((mid + ((1 << sh) >> 1)) >> sh)
-    hv = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
-    for k in range(8):
-        hv = hv + fv[:, k, None, None] * mid[:, k : k + 8, :]
-    sh2 = 6 + ib
-    hv = jnp.clip((hv + ((1 << sh2) >> 1)) >> sh2, 0, pxmax)
-    # 8-tap h only (rows 3..11 of the window)
-    ho = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
-    for k in range(8):
-        ho = ho + fh[:, k, None, None] * win[:, 3:11, k : k + 8]
-    ho = jnp.clip((ho + 32 + ((1 << sh) >> 1)) >> 6, 0, pxmax)
-    # 8-tap v only (cols 3..11)
-    vo = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
-    for k in range(8):
-        vo = vo + fv[:, k, None, None] * win[:, k : k + 8, 3:11]
-    vo = jnp.clip((vo + 32) >> 6, 0, pxmax)
-    cp = win[:, 3:11, 3:11]
 
-    mx = d[D_MX][:, None, None]
-    my = d[D_MY][:, None, None]
-    out8 = jnp.where(
-        my != 0,
-        jnp.where(mx != 0, hv, vo),
-        jnp.where(mx != 0, ho, cp),
+    def mk_filters():
+        dd = [d[r] for r in range(11)]
+        dd[D_MX] = jnp.maximum(d[D_MX], 1)
+        dd[D_MY] = jnp.maximum(d[D_MY], 1)
+        return _filters(dd, None, None)
+
+    def case_hv():
+        win = _gather(stack, d[D_SROW], d[D_SY] - 3, 15, d[D_SX] - 3, 15,
+                      vw, vh)
+        fh, fv = mk_filters()
+        mid = jnp.zeros((win.shape[0], 15, 8), jnp.int32)
+        for k in range(8):
+            mid = mid + fh[:, k, None, None] * win[:, :, k : k + 8]
+        mid = _i16((mid + ((1 << sh) >> 1)) >> sh)
+        hv = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
+        for k in range(8):
+            hv = hv + fv[:, k, None, None] * mid[:, k : k + 8, :]
+        sh2 = 6 + ib
+        return jnp.clip((hv + ((1 << sh2) >> 1)) >> sh2, 0, pxmax)
+
+    def case_h():
+        win = _gather(stack, d[D_SROW], d[D_SY], 8, d[D_SX] - 3, 15, vw, vh)
+        fh, _ = mk_filters()
+        ho = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
+        for k in range(8):
+            ho = ho + fh[:, k, None, None] * win[:, :, k : k + 8]
+        return jnp.clip((ho + 32 + ((1 << sh) >> 1)) >> 6, 0, pxmax)
+
+    def case_v():
+        win = _gather(stack, d[D_SROW], d[D_SY] - 3, 15, d[D_SX], 8, vw, vh)
+        _, fv = mk_filters()
+        vo = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
+        for k in range(8):
+            vo = vo + fv[:, k, None, None] * win[:, k : k + 8, :]
+        return jnp.clip((vo + 32) >> 6, 0, pxmax)
+
+    def case_cp():
+        return _gather(stack, d[D_SROW], d[D_SY], 8, d[D_SX], 8, vw, vh)
+
+    def case_bilin():
+        b = _gather(stack, d[D_SROW], d[D_SY], 9, d[D_SX], 9, vw, vh)
+        mx = d[D_MX][:, None, None]
+        my = d[D_MY][:, None, None]
+        sh_h = 4 - ib
+        hrnd = (1 << sh_h) >> 1
+        hsrc = b[:, :, :8]
+        hf = 16 * hsrc + mx * (b[:, :, 1:9] - hsrc)
+        mid_f = _i16((hf + hrnd) >> sh_h)
+        vf_f = (16 * mid_f[:, :8, :]
+                + my * (mid_f[:, 1:9, :] - mid_f[:, :8, :]))
+        vf_r = 16 * hsrc[:, :8, :] + my * (hsrc[:, 1:9, :] - hsrc[:, :8, :])
+        sh_v = 4 + ib
+        ird = (1 << ib) >> 1
+        outb = jnp.where(
+            my != 0,
+            jnp.where(mx != 0, (vf_f + ((1 << sh_v) >> 1)) >> sh_v,
+                      (vf_r + 8) >> 4),
+            jnp.where(mx != 0, (mid_f[:, :8, :] + ird) >> ib,
+                      hsrc[:, :8, :]),
+        )
+        return jnp.clip(outb, 0, pxmax)
+
+    return jax.lax.switch(
+        jnp.clip(d[11][0], 0, 4),
+        [case_hv, case_h, case_v, case_cp, case_bilin],
     )
-
-    # bilinear (9x9 sub-window; put_bilin_rust)
-    b = win[:, 3:12, 3:12]
-    sh_h = 4 - ib
-    hrnd = (1 << sh_h) >> 1
-    hsrc = b[:, :, :8]
-    hf = 16 * hsrc + mx * (b[:, :, 1:9] - hsrc)
-    mid_f = _i16((hf + hrnd) >> sh_h)
-    vf_f = 16 * mid_f[:, :8, :] + my * (mid_f[:, 1:9, :] - mid_f[:, :8, :])
-    vf_r = 16 * hsrc[:, :8, :] + my * (hsrc[:, 1:9, :] - hsrc[:, :8, :])
-    sh_v = 4 + ib
-    ird = (1 << ib) >> 1
-    outb = jnp.where(
-        my != 0,
-        jnp.where(mx != 0, (vf_f + ((1 << sh_v) >> 1)) >> sh_v,
-                  (vf_r + 8) >> 4),
-        jnp.where(mx != 0, (mid_f[:, :8, :] + ird) >> ib, hsrc[:, :8, :]),
-    )
-    outb = jnp.clip(outb, 0, pxmax)
-
-    return jnp.where(d[11][:, None, None] != 0, outb, out8)
 
 
 def _prep_out(stack, d, vw, vh, bpc):
-    """8-tap prep variants from one gather (prep_8tap_rust:277)."""
+    """8-tap prep, case-pure chunks like _put_out (prep_8tap_rust:277):
+    descriptor row 11 = case 0 h+v / 1 h / 2 v / 3 copy."""
     from ..ops.ref.mc import intermediate_bits
 
     ib = intermediate_bits(bpc)
     bias = 0 if bpc == 8 else 8192
-    win = _gather(stack, d[D_SROW], d[D_SY] - 3, 15, d[D_SX] - 3, 15, vw, vh)
-    dd = [d[r] for r in range(11)]
-    dd[D_MX] = jnp.maximum(d[D_MX], 1)
-    dd[D_MY] = jnp.maximum(d[D_MY], 1)
-    fh, fv = _filters(dd, None, None)
     sh = 6 - ib
 
-    mid = jnp.zeros((win.shape[0], 15, 8), jnp.int32)
-    for k in range(8):
-        mid = mid + fh[:, k, None, None] * win[:, :, k : k + 8]
-    mid = _i16((mid + ((1 << sh) >> 1)) >> sh)
-    hv = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
-    for k in range(8):
-        hv = hv + fv[:, k, None, None] * mid[:, k : k + 8, :]
-    hv = ((hv + 32) >> 6) - bias
+    def mk_filters():
+        dd = [d[r] for r in range(11)]
+        dd[D_MX] = jnp.maximum(d[D_MX], 1)
+        dd[D_MY] = jnp.maximum(d[D_MY], 1)
+        return _filters(dd, None, None)
 
-    ho = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
-    for k in range(8):
-        ho = ho + fh[:, k, None, None] * win[:, 3:11, k : k + 8]
-    ho = ((ho + ((1 << sh) >> 1)) >> sh) - bias
+    def case_hv():
+        win = _gather(stack, d[D_SROW], d[D_SY] - 3, 15, d[D_SX] - 3, 15,
+                      vw, vh)
+        fh, fv = mk_filters()
+        mid = jnp.zeros((win.shape[0], 15, 8), jnp.int32)
+        for k in range(8):
+            mid = mid + fh[:, k, None, None] * win[:, :, k : k + 8]
+        mid = _i16((mid + ((1 << sh) >> 1)) >> sh)
+        hv = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
+        for k in range(8):
+            hv = hv + fv[:, k, None, None] * mid[:, k : k + 8, :]
+        return ((hv + 32) >> 6) - bias
 
-    vo = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
-    for k in range(8):
-        vo = vo + fv[:, k, None, None] * win[:, k : k + 8, 3:11]
-    vo = ((vo + ((1 << sh) >> 1)) >> sh) - bias
+    def case_h():
+        win = _gather(stack, d[D_SROW], d[D_SY], 8, d[D_SX] - 3, 15, vw, vh)
+        fh, _ = mk_filters()
+        ho = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
+        for k in range(8):
+            ho = ho + fh[:, k, None, None] * win[:, :, k : k + 8]
+        return ((ho + ((1 << sh) >> 1)) >> sh) - bias
 
-    cp = (win[:, 3:11, 3:11] << ib) - bias
+    def case_v():
+        win = _gather(stack, d[D_SROW], d[D_SY] - 3, 15, d[D_SX], 8, vw, vh)
+        _, fv = mk_filters()
+        vo = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
+        for k in range(8):
+            vo = vo + fv[:, k, None, None] * win[:, k : k + 8, :]
+        return ((vo + ((1 << sh) >> 1)) >> sh) - bias
 
-    mx = d[D_MX][:, None, None]
-    my = d[D_MY][:, None, None]
-    out = jnp.where(
-        my != 0,
-        jnp.where(mx != 0, hv, vo),
-        jnp.where(mx != 0, ho, cp),
-    )
-    return _i16(out)
+    def case_cp():
+        win = _gather(stack, d[D_SROW], d[D_SY], 8, d[D_SX], 8, vw, vh)
+        return (win << ib) - bias
+
+    return _i16(jax.lax.switch(
+        jnp.clip(d[11][0], 0, 3),
+        [case_hv, case_h, case_v, case_cp],
+    ))
 
 
 def _warp_out(stack, d, vw, vh, bpc):
@@ -731,8 +752,10 @@ def filter_prog(planes, dev, *, geom, bpc, layout_i, need_sr, sr_geom,
     # ---- loop restoration: 12 static slots, stripes as data ----
     Wy, Wc = lr_ws
     vis_h = (cur_h if not need_sr else sr_h)
+    lr_outs = []
     for pl in range(3):
         if pl and not has_chroma:
+            lr_outs.append(planes[pl])
             continue
         sv = ss_ver if pl else 0
         ph = (vis_h + sv) >> sv
@@ -754,7 +777,10 @@ def filter_prog(planes, dev, *, geom, bpc, layout_i, need_sr, sr_geom,
                 return lr_sgr_pass_raw(pfl, cat, d, W, kind, bpc, aw)
 
             pfl = jax.lax.fori_loop(0, n, it, pfl)
-        planes = planes.at[pl].set(pfl.reshape(plane.shape))
+        lr_outs.append(pfl.reshape(plane.shape))
+    # one stack instead of three .at[pl].set full-array copies (the
+    # copies alone profiled 12 ms/frame at 320p)
+    planes = jnp.stack(lr_outs)
 
     # ---- pack the output (the only device->host payload) ----
     odt = jnp.uint8 if bpc == 8 else jnp.uint16

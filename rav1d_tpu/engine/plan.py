@@ -91,13 +91,14 @@ class FramePlan:
 
 class _Item:
     __slots__ = (
-        "pl", "x", "y", "w", "h", "mode", "angle", "tx", "coords",
+        "pl", "x", "y", "w", "h", "mode", "angle", "tx",
+        "hav", "phl", "phbl", "pht", "phtr",
         "z2_mw", "z2_mh", "z2_sm",
         "cfl_alpha", "cfl_ly", "cfl_lx", "cfl_wpad", "cfl_hpad",
         "rd_top_x1", "rd_left_y1", "wave", "iioff",
     )
 
-    def __init__(self, pl, x, y, w, h, mode, angle, tx, coords):
+    def __init__(self, pl, x, y, w, h, mode, angle, tx, edge_params=None):
         self.pl = pl
         self.x = x
         self.y = y
@@ -106,7 +107,13 @@ class _Item:
         self.mode = mode
         self.angle = angle
         self.tx = tx
-        self.coords = coords
+        # parametric edge descriptor (wave2._build_coords reconstructs the
+        # full prepare_intra_edges index plan on device from these):
+        # hav bit0 have_left / bit1 have_top; ph* = available pixel counts
+        # for the left / bottom-left / top / top-right strips (0 = absent)
+        self.hav, self.phl, self.phbl, self.pht, self.phtr = (
+            edge_params if edge_params is not None else (0, 0, 0, 0, 0)
+        )
         self.z2_mw = 0
         self.z2_mh = 0
         self.z2_sm = 0
@@ -134,20 +141,13 @@ def item_class(w_px, h_px):
     return 0 if (w_px <= CLS_S[0] and h_px <= CLS_S[1]) else 1
 
 
-def _alloc_coords(tw, th):
-    """Class-layout edge-plan vector for a (tw, th) 4px-unit tx size:
-    (coords, off) with the top-left sample at off = 2*CH."""
-    CW, CH = CLS_S if item_class(4 * tw, 4 * th) == 0 else CLS_L
-    return np.full(2 * CH + 1 + 2 * CW, -1, np.int32), 2 * CH
-
-
-def plan_edges(coords, off, x, have_left, y, have_top, w, h, edge_flags,
-               base, stride, mode, angle, tw, th, filter_edge, bpc):
-    """Index-plan twin of prepare_intra_edges (recon/ipred_prepare.py):
-    writes flat plane indices (or -(const+1)) into coords; returns
-    (impl_mode, angle, smooth_tl)."""
-    px_x, px_y = 4 * x, 4 * y
-
+def plan_edges(x, have_left, y, have_top, w, h, edge_flags,
+               mode, angle, tw, th, filter_edge):
+    """Parametric twin of prepare_intra_edges (recon/ipred_prepare.py):
+    refines (mode, angle) and computes the availability descriptor the
+    device uses to rebuild the full edge index plan
+    (wave2._build_coords). Returns (impl_mode, angle, smooth_tl,
+    (hav, phl, phbl, pht, phtr))."""
     if VERT_PRED <= mode <= VERT_LEFT_PRED:
         angle = _MODE_TO_ANGLE[mode - VERT_PRED] + 3 * angle
         if angle <= 90:
@@ -159,80 +159,27 @@ def plan_edges(coords, off, x, have_left, y, have_top, w, h, edge_flags,
     elif mode in (DC_PRED, PAETH_PRED):
         mode = _MODE_CONV[mode][1 if have_left else 0][1 if have_top else 0]
 
-    needs = _NEEDS[mode]
+    szl = 4 * th
+    phl = min(szl, (h - y) << 2) if have_left else 0
+    have_bl = (
+        have_left and y + th < h
+        and bool(edge_flags & ie.I444_LEFT_HAS_BOTTOM)
+    )
+    phbl = min(szl, (h - y - th) << 2) if have_bl else 0
+    szt = 4 * tw
+    pht = min(szt, (w - x) << 2) if have_top else 0
+    have_tr = (
+        have_top and x + tw < w
+        and bool(edge_flags & ie.I444_TOP_HAS_RIGHT)
+    )
+    phtr = min(szt, (w - x - tw) << 2) if have_tr else 0
 
-    def idx(yy, xx):
-        return base + yy * stride + xx
-
-    top0 = None
-    if have_top and (
-        needs & NEED_TOP
-        or needs & NEED_TOP_LEFT
-        or (needs & NEED_LEFT and not have_left)
-    ):
-        top0 = idx(px_y - 1, px_x - (1 if have_left else 0))
-
-    if needs & NEED_LEFT:
-        sz = 4 * th
-        if have_left:
-            px_have = min(sz, (h - y) << 2)
-            i = np.arange(sz)
-            ii = np.minimum(i, px_have - 1)
-            coords[off - 1 - i] = idx(px_y + ii, px_x - 1)
-        else:
-            fill = top0 if have_top else -((((1 << bpc) >> 1) + 1) + 1)
-            coords[off - sz : off] = fill
-        if needs & NEED_BOTTOM_LEFT:
-            have_bl = (
-                have_left and y + th < h
-                and bool(edge_flags & ie.I444_LEFT_HAS_BOTTOM)
-            )
-            if have_bl:
-                px_have = min(sz, (h - y - th) << 2)
-                i = np.arange(sz)
-                ii = np.minimum(i, px_have - 1)
-                coords[off - 1 - sz - i] = idx(px_y + sz + ii, px_x - 1)
-            else:
-                coords[off - 2 * sz : off - sz] = coords[off - sz]
-
-    if needs & NEED_TOP:
-        sz = 4 * tw
-        if have_top:
-            px_have = min(sz, (w - x) << 2)
-            i = np.arange(sz)
-            ii = np.minimum(i, px_have - 1)
-            coords[off + 1 + i] = idx(px_y - 1, px_x + ii)
-        else:
-            fill = (
-                idx(px_y, px_x - 1)
-                if have_left
-                else -((((1 << bpc) >> 1) - 1) + 1)
-            )
-            coords[off + 1 : off + 1 + sz] = fill
-        if needs & NEED_TOP_RIGHT:
-            have_tr = (
-                have_top and x + tw < w
-                and bool(edge_flags & ie.I444_TOP_HAS_RIGHT)
-            )
-            if have_tr:
-                px_have = min(sz, (w - x - tw) << 2)
-                i = np.arange(sz)
-                ii = np.minimum(i, px_have - 1)
-                coords[off + 1 + sz + i] = idx(px_y - 1, px_x + sz + ii)
-            else:
-                coords[off + 1 + sz : off + 1 + 2 * sz] = coords[off + sz]
-
-    smooth_tl = False
-    if needs & NEED_TOP_LEFT:
-        if have_top:
-            coords[off] = top0
-        elif have_left:
-            coords[off] = idx(px_y, px_x - 1)
-        else:
-            coords[off] = -(((1 << bpc) >> 1) + 1)
-        smooth_tl = bool(mode == Z2_PRED and tw + th >= 6 and filter_edge)
-
-    return mode, angle, smooth_tl
+    smooth_tl = bool(
+        _NEEDS[mode] & NEED_TOP_LEFT
+        and mode == Z2_PRED and tw + th >= 6 and filter_edge
+    )
+    hav = (1 if have_left else 0) | (2 if have_top else 0)
+    return mode, angle, smooth_tl, (hav, phl, phbl, pht, phtr)
 
 
 def build_plan(t, f):
@@ -336,9 +283,9 @@ def _assign_waves(plan, f):
     plan.n_waves = maxw
 
 
-def _emit(plan, f, pl, px, py, w_px, h_px, mode, angle, tx_idx, coords,
+def _emit(plan, f, pl, px, py, w_px, h_px, mode, angle, tx_idx, edge_params,
           smooth_tl, mw=0, mh=0, have_top=False, have_left=False):
-    it = _Item(pl, px, py, w_px, h_px, mode, angle, tx_idx, coords)
+    it = _Item(pl, px, py, w_px, h_px, mode, angle, tx_idx, edge_params)
     it.z2_sm = int(smooth_tl)
     it.z2_mw = mw
     it.z2_mh = mh
@@ -422,10 +369,9 @@ def _plan_b_intra(plan, t, f, ts, bs, intra_edge_flags, b, item, cur):
                             tx_idx = idx
                     if b.pal_sz[0]:
                         if tx_idx >= 0:
-                            coords, _ = _alloc_coords(t_dim.w, t_dim.h)
                             _emit(plan, f, 0, 4 * t.bx, 4 * t.by,
                                   t_dim.w * 4, t_dim.h * 4, MODE_IDENT, 0,
-                                  tx_idx, coords, False)
+                                  tx_idx, None, False)
                     else:
                         ef = (
                             ie.I444_TOP_HAS_RIGHT
@@ -442,18 +388,17 @@ def _plan_b_intra(plan, t, f, ts, bs, intra_edge_flags, b, item, cur):
                             )
                             else 0
                         )
-                        coords, coff = _alloc_coords(t_dim.w, t_dim.h)
                         have_left = t.bx > ts.col_start
                         have_top = t.by > ts.row_start
-                        m, angle, sm_tl = plan_edges(
-                            coords, coff, t.bx, have_left, t.by,
-                            have_top, ts.col_end, ts.row_end, ef, 0, aw,
+                        m, angle, sm_tl, ep = plan_edges(
+                            t.bx, have_left, t.by,
+                            have_top, ts.col_end, ts.row_end, ef,
                             b.y_mode, b.y_angle, t_dim.w, t_dim.h,
-                            intra_edge_filter, bpc,
+                            intra_edge_filter,
                         )
                         _emit(plan, f, 0, 4 * t.bx, 4 * t.by, t_dim.w * 4,
                               t_dim.h * 4, m, angle | intra_flags, tx_idx,
-                              coords, sm_tl,
+                              ep, sm_tl,
                               mw=4 * f.bw - 4 * t.bx, mh=4 * f.bh - 4 * t.by,
                               have_top=have_top, have_left=have_left)
                     x += t_dim.w
@@ -543,18 +488,16 @@ def _plan_chroma(plan, t, f, ts, b, bs, init_x, init_y, sub_ch4, cw4, ch4,
                     # CfL: DC-family edges + luma ac (computed on device)
                     xstart = ts.col_start >> ss_hor
                     ystart = ts.row_start >> ss_ver
-                    coords, coff = _alloc_coords(uv_t_dim.w, uv_t_dim.h)
                     have_left = xpos > xstart
                     have_top = ypos > ystart
-                    m, _, _ = plan_edges(
-                        coords, coff, xpos, have_left, ypos,
+                    m, _, _, ep = plan_edges(
+                        xpos, have_left, ypos,
                         have_top, ts.col_end >> ss_hor, ts.row_end >> ss_ver,
-                        0, (1 + pl) * psz, aw, DC_PRED, 0, uv_t_dim.w,
-                        uv_t_dim.h, 0, bpc,
+                        0, DC_PRED, 0, uv_t_dim.w, uv_t_dim.h, 0,
                     )
                     it = _emit(
                         plan, f, 1 + pl, 4 * xpos, 4 * ypos, uv_t_dim.w * 4,
-                        uv_t_dim.h * 4, _CFL_MAP[m], 0, tx_idx, coords,
+                        uv_t_dim.h * 4, _CFL_MAP[m], 0, tx_idx, ep,
                         False, have_top=have_top, have_left=have_left,
                     )
                     it.cfl_alpha = b.cfl_alpha[pl]
@@ -563,10 +506,9 @@ def _plan_chroma(plan, t, f, ts, b, bs, init_x, init_y, sub_ch4, cw4, ch4,
                     it.cfl_wpad, it.cfl_hpad = cfl_pads
                 elif b.pal_sz[1]:
                     if tx_idx >= 0:
-                        coords, _ = _alloc_coords(uv_t_dim.w, uv_t_dim.h)
                         _emit(plan, f, 1 + pl, 4 * xpos, 4 * ypos,
                               uv_t_dim.w * 4, uv_t_dim.h * 4, MODE_IDENT,
-                              0, tx_idx, coords, False)
+                              0, tx_idx, None, False)
                 else:
                     angle = b.uv_angle
                     ef = (
@@ -587,19 +529,18 @@ def _plan_chroma(plan, t, f, ts, b, bs, init_x, init_y, sub_ch4, cw4, ch4,
                     uv_mode = DC_PRED if cfl else b.uv_mode
                     xstart = ts.col_start >> ss_hor
                     ystart = ts.row_start >> ss_ver
-                    coords, coff = _alloc_coords(uv_t_dim.w, uv_t_dim.h)
                     have_left = xpos > xstart
                     have_top = ypos > ystart
-                    m, angle, sm_tl = plan_edges(
-                        coords, coff, xpos, have_left, ypos,
+                    m, angle, sm_tl, ep = plan_edges(
+                        xpos, have_left, ypos,
                         have_top, ts.col_end >> ss_hor, ts.row_end >> ss_ver,
-                        ef, (1 + pl) * psz, aw, uv_mode, angle, uv_t_dim.w,
-                        uv_t_dim.h, intra_edge_filter, bpc,
+                        ef, uv_mode, angle, uv_t_dim.w,
+                        uv_t_dim.h, intra_edge_filter,
                     )
                     angle |= ief_flag
                     _emit(plan, f, 1 + pl, 4 * xpos, 4 * ypos,
                           uv_t_dim.w * 4, uv_t_dim.h * 4, m,
-                          angle | sm_uv_fl, tx_idx, coords, sm_tl,
+                          angle | sm_uv_fl, tx_idx, ep, sm_tl,
                           mw=(4 * f.bw + ss_hor - 4 * (t.bx & ~ss_hor)) >> ss_hor,
                           mh=(4 * f.bh + ss_ver - 4 * (t.by & ~ss_ver)) >> ss_ver,
                           have_top=have_top, have_left=have_left)

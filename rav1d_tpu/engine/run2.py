@@ -162,18 +162,19 @@ def _pack_palette(blob, hdr, plan, psz, aw):
 # ------------------------------ wavefront --------------------------------
 
 
-def _pack_class(items, NW, B, EL, psz):
-    """Pack one class's wave items into (NW, B, EL + N_FIELDS) int32 rows
-    (layout in wave2.FIELDS). Lane 0 carries the per-wave feature flags
-    and item count that let the device cond-skip absent features."""
+def _pack_class(items, NW, B, psz):
+    """Pack one class's wave items into (NW, B, N_FIELDS) int32 rows
+    (layout in wave2.FIELDS; the edge plan is the 5-field parametric
+    descriptor expanded on device by wave2._build_coords). Lane 0 carries
+    the per-wave feature flags and item count that let the device
+    cond-skip absent features."""
     from ..syntax.levels import FILTER_PRED, Z1_PRED, Z2_PRED, Z3_PRED
     from .wave2 import (
         F_CFL, F_FILTER, F_IDENT, F_II, F_Z, FIELDS, N_FIELDS,
     )
 
-    blob = np.zeros((NW, B, EL + N_FIELDS), np.int32)
-    blob[:, :, :EL] = -1  # coords default: constant 0
-    fi = {k: EL + i for i, k in enumerate(FIELDS)}
+    blob = np.zeros((NW, B, N_FIELDS), np.int32)
+    fi = {k: i for i, k in enumerate(FIELDS)}
     blob[:, :, fi["flat0"]] = 3 * psz  # padded lanes scatter out of bounds
     blob[:, :, fi["w"]] = 4
     blob[:, :, fi["h"]] = 4
@@ -185,7 +186,6 @@ def _pack_class(items, NW, B, EL, psz):
         k = fill[wv]
         fill[wv] += 1
         row = blob[wv, k]
-        row[: len(it.coords)] = it.coords
         row[fi["modes"]] = it.mode
         row[fi["angles"]] = it.angle
         row[fi["flat0"]] = it.pl * psz + it.y * aw + it.x
@@ -196,6 +196,11 @@ def _pack_class(items, NW, B, EL, psz):
         row[fi["w"]] = it.w
         row[fi["h"]] = it.h
         row[fi["iioff"]] = it.iioff
+        row[fi["hav"]] = it.hav
+        row[fi["phl"]] = it.phl
+        row[fi["phbl"]] = it.phbl
+        row[fi["pht"]] = it.pht
+        row[fi["phtr"]] = it.phtr
         if it.mode in (Z1_PRED, Z2_PRED, Z3_PRED):
             wflags[wv] |= F_Z
         elif it.mode == FILTER_PRED:
@@ -216,8 +221,6 @@ def _pack_class(items, NW, B, EL, psz):
 
 
 def _pack_wave(blob, hdr, plan, psz, aw):
-    from .wave2 import N_FIELDS  # noqa: F401
-
     if plan.ii_masks:
         hdr[WAVE0 + 3] = blob.add_words(
             np.concatenate(plan.ii_masks).astype(np.int32)
@@ -227,23 +230,37 @@ def _pack_wave(blob, hdr, plan, psz, aw):
     sitems = [(it, aw) for it in plan.items if item_class(it.w, it.h) == 0]
     litems = [(it, aw) for it in plan.items if item_class(it.w, it.h) == 1]
     NW = max(plan.n_waves, 1)
-    ELS = 2 * CLS_S[1] + 1 + 2 * CLS_S[0]
-    ELL = 2 * CLS_L[1] + 1 + 2 * CLS_L[0]
     hdr[WAVE0] = NW
-    hdr[WAVE0 + 1] = blob.add_words(_pack_class(sitems, NW, CAP[0], ELS, psz))
-    hdr[WAVE0 + 2] = blob.add_words(_pack_class(litems, NW, CAP[1], ELL, psz))
+    hdr[WAVE0 + 1] = blob.add_words(_pack_class(sitems, NW, CAP[0], psz))
+    hdr[WAVE0 + 2] = blob.add_words(_pack_class(litems, NW, CAP[1], psz))
 
 
 # -------------------------------- inter ----------------------------------
 
 
-def _pack_slot(blob, hdr, name, cols, rows, B=TB):
+def _pack_slot(blob, hdr, name, cols, rows, B=TB, case_row=None):
+    """Pack a slot's tile descriptors into (nc, rows, B) chunks. With
+    case_row set, chunks are CASE-PURE (grouped by that column): the
+    device body lax.switches once per chunk and computes only that
+    filter case's gather + taps."""
     if not cols:
         return
-    a = np.asarray(cols, np.int32).T
-    d, nc = _chunked(list(a), a.shape[1], B)
-    hdr[INTER0 + 2 * SLOTS[name]] = blob.add_words(d)
-    hdr[INTER0 + 2 * SLOTS[name] + 1] = nc
+    a = np.asarray(cols, np.int32)
+    if case_row is None:
+        groups = [a]
+    else:
+        groups = [a[a[:, case_row] == c]
+                  for c in np.unique(a[:, case_row])]
+    chunks = []
+    total = 0
+    for g in groups:
+        d, nc = _chunked(list(g.T), g.shape[0], B)
+        if case_row is not None:
+            d[:, case_row, :] = g[0, case_row]
+        chunks.append(d)
+        total += nc
+    hdr[INTER0 + 2 * SLOTS[name]] = blob.add_words(np.concatenate(chunks))
+    hdr[INTER0 + 2 * SLOTS[name] + 1] = total
 
 
 def _plan_inter_v3(f, plan, blob, hdr, psz, aw):
@@ -309,6 +326,13 @@ def _plan_inter_v3(f, plan, blob, hdr, psz, aw):
             g = put_cols["lapY" if kind == 0 else "lapC"]
         else:
             g = put_cols["putY" if kind == 0 else "putC"]
+        # filter case (mega._put_out): 0 hv / 1 h / 2 v / 3 copy / 4 bilin
+        if bilin:
+            case = 4
+        elif fmy:
+            case = 0 if fmx else 2
+        else:
+            case = 1 if fmx else 3
         for ty in range(0, h, 8):
             th = min(8, h - ty)
             for tx in range(0, w, 8):
@@ -322,14 +346,14 @@ def _plan_inter_v3(f, plan, blob, hdr, psz, aw):
                     flat0 = (base + ((dsty + ty) >> 3) * ntx
                              + ((dstx + tx) >> 3)) * 64
                 g.append((row, dy + ty, dx + tx, fmx, fmy, f2d, flat0,
-                          tw, th, w, h, int(bilin)))
+                          tw, th, w, h, case))
 
     for job in jobs.mc:
         add_put(job, False)
     for job in jobs.bilin:
         add_put(job, True)
     for name, cols in put_cols.items():
-        _pack_slot(blob, hdr, name, cols, NPUT)
+        _pack_slot(blob, hdr, name, cols, NPUT, case_row=11)
 
     # --- warp puts ---
     warp_cols = {0: [], 1: []}
@@ -355,16 +379,20 @@ def _plan_inter_v3(f, plan, blob, hdr, psz, aw):
         nty = (h + 7) >> 3
         pool_rows[("p", idx)] = (npool, ntx)
         g = prep_cols[kind]
+        if fmy:
+            case = 0 if fmx else 2
+        else:
+            case = 1 if fmx else 3
         for ty in range(0, h, 8):
             th = min(8, h - ty)
             for tx in range(0, w, 8):
                 tw = min(8, w - tx)
                 flat0 = (npool + (ty >> 3) * ntx + (tx >> 3)) * 64
                 g.append((row, dy + ty, dx + tx, fmx, fmy, f2d, flat0,
-                          tw, th, w, h, 0))
+                          tw, th, w, h, case))
         npool += ntx * nty
-    _pack_slot(blob, hdr, "prepY", prep_cols[0], NPUT)
-    _pack_slot(blob, hdr, "prepC", prep_cols[1], NPUT)
+    _pack_slot(blob, hdr, "prepY", prep_cols[0], NPUT, case_row=11)
+    _pack_slot(blob, hdr, "prepC", prep_cols[1], NPUT, case_row=11)
 
     wh_base = {}
     for hnd in jobs.warp_handles:

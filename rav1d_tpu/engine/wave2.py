@@ -79,7 +79,7 @@ def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz,
     C = 2 * CH
     w = d["w"]
     h = d["h"]
-    coords = d["coords"]
+    coords = _build_coords(d, CW, CH, aw, psz, bpc)
     edge = jax.lax.optimization_barrier(jnp.where(
         coords < 0, -coords - 1, pf[jnp.clip(coords, 0, pf.shape[0] - 1)]
     ))
@@ -200,7 +200,8 @@ def _class_step(pf, resid, d, CW, CH, bpc, feats, ss_hor, ss_ver, aw, psz,
 # the z gathers, cfl, interintra) on waves that do not contain them.
 FIELDS = ("modes", "angles", "flat0", "rmask", "z2mw", "z2mh", "z2sm",
           "cfla", "cfl0", "cflwp", "cflhp", "w", "h", "iioff",
-          "wflags", "wcount")
+          "wflags", "wcount",
+          "hav", "phl", "phbl", "pht", "phtr")
 N_FIELDS = len(FIELDS)
 
 # wflags bits
@@ -211,9 +212,85 @@ F_IDENT = 8
 F_II = 16
 
 
-def _unpack_blob(blob, EL):
-    d = {"coords": blob[:, :EL]}
+def _unpack_blob(blob, EL=0):
+    d = {}
     for i, k in enumerate(FIELDS):
         v = blob[:, EL + i]
         d[k] = (v != 0) if k in ("rmask", "z2sm") else v
     return d
+
+
+def _build_coords(d, CW, CH, aw, psz, bpc):
+    """Reconstruct the prepare_intra_edges index plan (B, 2CH+1+2CW) from
+    the parametric descriptor (plan.plan_edges): availability bits +
+    per-strip available-pixel counts. Replaces the host-serialized
+    per-item coord vectors (65-257 words/item — the bulk of keyframe
+    blobs) with ~5 scalars; all index math is elementwise iota arithmetic
+    on device. Encoding matches the old plan: value >= 0 is a flat plane
+    index, value < 0 decodes to the constant -(v)-1
+    (src/ipred_prepare.rs:118 availability/replication rules)."""
+    flat0 = d["flat0"]
+    rem = flat0 % psz
+    plbase = flat0 - rem
+    py = rem // aw
+    px = rem % aw
+    have_l = (d["hav"] & 1) != 0
+    have_t = (d["hav"] & 2) != 0
+    phl, phbl = d["phl"], d["phbl"]
+    pht, phtr = d["pht"], d["phtr"]
+    w = d["w"]
+    h = d["h"]
+    half = (1 << bpc) >> 1
+    constL = -(half + 1 + 1)   # left fill constant, encoded -(c+1)
+    constT = -(half - 1 + 1)   # top fill constant
+    constC = -(half + 1)       # corner constant
+
+    top0 = plbase + (py - 1) * aw + px - jnp.where(have_l, 1, 0)
+    leftpix = plbase + py * aw + (px - 1)
+    left_fill = jnp.where(have_t, top0, constL)            # (B,)
+    top_fill = jnp.where(have_l, leftpix, constT)
+    corner = jnp.where(have_t, top0,
+                       jnp.where(have_l, leftpix, constC))
+
+    colbase = plbase + (px - 1)
+
+    def left_at(i):
+        # i (B, K): left strip value at strip index i (with replication)
+        return jnp.where(
+            have_l[:, None],
+            colbase[:, None] + (py[:, None]
+                                + jnp.minimum(i, phl[:, None] - 1)) * aw,
+            left_fill[:, None],
+        )
+
+    j = jnp.arange(2 * CH)[None, :]
+    k = 2 * CH - 1 - j  # combined below-strip index for vector position j
+    hh = h[:, None]
+    lval = left_at(k)
+    l_last = left_at(hh - 1)
+    bl_repl = colbase[:, None] + (
+        py[:, None] + hh + jnp.minimum(k - hh, phbl[:, None] - 1)
+    ) * aw
+    blval = jnp.where(phbl[:, None] > 0, bl_repl, l_last)
+    bottom = jnp.where(k < hh, lval, jnp.where(k < 2 * hh, blval, -1))
+
+    rowbase = plbase + (py - 1) * aw + px
+
+    def top_at(i):
+        return jnp.where(
+            have_t[:, None],
+            rowbase[:, None] + jnp.minimum(i, pht[:, None] - 1),
+            top_fill[:, None],
+        )
+
+    j2 = jnp.arange(2 * CW)[None, :]
+    ww = w[:, None]
+    tval = top_at(j2)
+    t_last = top_at(ww - 1)
+    tr_repl = rowbase[:, None] + ww + jnp.minimum(
+        j2 - ww, phtr[:, None] - 1
+    )
+    trval = jnp.where(phtr[:, None] > 0, tr_repl, t_last)
+    top = jnp.where(j2 < ww, tval, jnp.where(j2 < 2 * ww, trval, -1))
+
+    return jnp.concatenate([bottom, corner[:, None], top], axis=1)
