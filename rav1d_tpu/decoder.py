@@ -526,6 +526,19 @@ class Decoder:
             else:
                 f.cur_segmap = f.prev_segmap  # read-only reuse
 
+        # engine mode: pre-submit program compiles for this geometry to a
+        # background pool so tracing/compile-cache loads overlap the host
+        # syntax pass (the C walk releases the GIL)
+        from . import engine as _engine
+
+        if _engine.enabled():
+            from .engine import run2 as _run2
+
+            try:
+                _run2.warm_frame(f)
+            except Exception:
+                pass
+
         # syntax pass now (host C, synchronous): produces CDFs, refmvs,
         # segmap — everything frame N+1's syntax pass needs — before any
         # pixel work (rav1d pass=1, src/decode.rs:3895)

@@ -114,15 +114,18 @@ class FrameBlob:
             a = np.concatenate([a, np.zeros(pad, np.uint8)])
         return self.add_words(a.view(np.int32))
 
-    def upload(self, hdr, hwm_key=None):
+    def upload(self, hdr, hwm_key=None, floor=0):
         """Fill a persistent staging buffer with the USED prefix, ship it,
         and zero-pad on device to the geometry's high-water capacity (the
         programs' traced blob length). Upload bytes track frame content;
-        compile keys track only the stable capacity."""
+        compile keys track only the stable capacity. `floor` is the
+        deterministic per-geometry capacity (run2.det_cap_words) that the
+        background warm predicted; frames overflowing it fall back to the
+        power-of-2 high-water path (a recompile, rare)."""
         import jax
         import jax.numpy as jnp
 
-        need = bucket_pow2(max(self.pos, hdr.size))
+        need = bucket_pow2(max(self.pos, hdr.size, floor))
         if hwm_key is not None:
             cap = max(_HWM.get(hwm_key, 0), need)
             _HWM[hwm_key] = cap

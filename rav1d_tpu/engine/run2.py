@@ -33,6 +33,127 @@ from .plan import CAP, CLS_L, CLS_S, MODE_CFL_DC, MODE_IDENT, item_class
 SIZE_IDX = {wh: i for i, wh in enumerate(SIZES)}
 
 
+# ---------------------------------------------------------------------------
+# AOT program cache + background warm.
+#
+# Tracing + lowering the four mega programs is pure-Python work (~8-25 s
+# each; the persistent XLA cache only skips the server-side compile), so a
+# fresh process stalls ~60 s on its first frames. The cache below keys
+# compiled executables by (program, static args, input shapes); warm_frame
+# submits every program the stream will need to a small thread pool as
+# soon as frame geometry is known, so tracing/compile-cache-loads overlap
+# the host syntax pass (the C walk releases the GIL) instead of stalling
+# the first engine frame.
+# ---------------------------------------------------------------------------
+
+import threading as _threading
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_PROGS = {}
+_PROGS_LOCK = _threading.Lock()
+_POOL = None
+
+
+def _pool():
+    global _POOL
+    if _POOL is None:
+        _POOL = _TPE(max_workers=3, thread_name_prefix="rav1d-warm")
+    return _POOL
+
+
+def _compile_prog(jitfn, statics, specs):
+    return jitfn.lower(*specs, **statics).compile()
+
+
+def _submit_prog(name, jitfn, statics, specs):
+    key = (
+        name,
+        tuple(sorted(statics.items())),
+        tuple((s.shape, str(s.dtype)) for s in specs),
+    )
+    with _PROGS_LOCK:
+        fut = _PROGS.get(key)
+        if fut is None:
+            fut = _pool().submit(_compile_prog, jitfn, statics, specs)
+            _PROGS[key] = fut
+    return fut
+
+
+def prog(name, jitfn, statics, args):
+    """Compiled executable for (program, statics, arg shapes); blocks only
+    if the warm thread has not finished this key yet."""
+    import jax
+
+    specs = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args)
+    return _submit_prog(name, jitfn, statics, specs).result()
+
+
+def det_cap_words(psz, bpc):
+    """Deterministic device blob capacity for a frame geometry: a stable
+    compile key the warm thread can predict before the first pack. Frames
+    that overflow it fall back to the power-of-2 high-water path."""
+    from .blob2 import bucket_pow2
+
+    return bucket_pow2(psz * (8 if bpc == 8 else 16))
+
+
+def warm_frame(f):
+    """Pre-submit compiles for every program this stream's geometry needs
+    (called from the decoder as soon as frame geometry is known)."""
+    import jax
+    import numpy as np_
+
+    from ..headers import PixelLayout
+
+    ah, aw = f.cur.y.shape
+    psz = ah * aw
+    bpc = f.cur.bpc
+    layout = f.cur.layout
+    ss_ver = 1 if layout == PixelLayout.I420 else 0
+    ss_hor = 1 if layout != PixelLayout.I444 else 0
+    cap = det_cap_words(psz, bpc)
+    i32 = np_.dtype(np_.int32)
+    pdt = np_.dtype(np_.uint8 if bpc == 8 else np_.uint16)
+    S = jax.ShapeDtypeStruct
+    dev = S((cap,), i32)
+    ra = S((6 * psz,), i32)
+    planes = S((3, ah, aw), i32)
+    _submit_prog("resid", resid_prog, dict(ah=ah, aw=aw, bpc=bpc), (dev,))
+    _submit_prog(
+        "wave", wave_prog,
+        dict(ah=ah, aw=aw, bpc=bpc, ss_hor=ss_hor, ss_ver=ss_ver),
+        (planes, ra, dev),
+    )
+    if f.cur.u is not None:
+        ach, acw = f.cur.u.shape
+    else:
+        ach = acw = 0
+    vwC = (f.cur.w + ss_hor) >> ss_hor
+    vhC = (f.cur.h + ss_ver) >> ss_ver
+    stackY = S((8, ah, aw), pdt)
+    stackC = S((16, ach, acw), pdt) if ach else S((1, ah, aw), pdt)
+    _submit_prog(
+        "inter", inter_prog,
+        dict(ah=ah, aw=aw, bpc=bpc, vwY=f.cur.w, vhY=f.cur.h,
+             vwC=vwC, vhC=vhC),
+        (planes, ra, dev, stackY, stackC),
+    )
+    geom = (ah, aw, ach, acw, f.bh, f.bw, f.cur.h)
+    lr_variants = {(96, 96)}
+    us = getattr(f.frame_hdr.restoration, "unit_size", None)
+    if us and us[0]:
+        wy = (1 << us[0]) + ((1 << us[0]) >> 1)
+        wc = (1 << us[1]) + ((1 << us[1]) >> 1) if us[1] else 96
+        lr_variants.add((wy, wc))
+    for lw in lr_variants:
+        _submit_prog(
+            "filter", filter_prog,
+            dict(geom=geom, bpc=bpc, layout_i=int(layout), need_sr=False,
+                 sr_geom=None, lr_ws=lw),
+            (planes, dev),
+        )
+
+
 def setup_cache():
     """Persistent XLA compilation cache so repeat runs start hot (TPU only:
     CPU AOT artifacts are machine-feature-pinned and can SIGILL when loaded
@@ -914,7 +1035,8 @@ def execute(f, plan):
                  bw=f.bw, bh=f.bh),
         )
 
-    dev, _cap = blob.upload(hdr, hwm_key=(ah, aw, bpc, int(layout)))
+    dev, _cap = blob.upload(hdr, hwm_key=(ah, aw, bpc, int(layout)),
+                            floor=det_cap_words(psz, bpc))
     t_up = time.perf_counter()
 
     def _t2(tag, val):
@@ -929,7 +1051,8 @@ def execute(f, plan):
                   flush=True)
 
     _t2("upload-sync", dev)
-    ra, planes = resid_prog(dev, ah=ah, aw=aw, bpc=bpc)
+    ra, planes = prog("resid", resid_prog,
+                      dict(ah=ah, aw=aw, bpc=bpc), (dev,))(dev)
     _t2("resid", planes)
     if srcs is not None:
         srcsY, srcsC = srcs
@@ -943,12 +1066,18 @@ def execute(f, plan):
             stackC = stackY[:1]
         vwC = (f.cur.w + ss_hor) >> ss_hor
         vhC = (f.cur.h + ss_ver) >> ss_ver
-        planes = inter_prog(planes, ra, dev, stackY, stackC, ah=ah, aw=aw,
-                            bpc=bpc, vwY=f.cur.w, vhY=f.cur.h, vwC=vwC,
-                            vhC=vhC)
+        planes = prog(
+            "inter", inter_prog,
+            dict(ah=ah, aw=aw, bpc=bpc, vwY=f.cur.w, vhY=f.cur.h,
+                 vwC=vwC, vhC=vhC),
+            (planes, ra, dev, stackY, stackC),
+        )(planes, ra, dev, stackY, stackC)
         _t2("inter", planes)
-    planes = wave_prog(planes, ra, dev, ah=ah, aw=aw, bpc=bpc,
-                       ss_hor=ss_hor, ss_ver=ss_ver)
+    planes = prog(
+        "wave", wave_prog,
+        dict(ah=ah, aw=aw, bpc=bpc, ss_hor=ss_hor, ss_ver=ss_ver),
+        (planes, ra, dev),
+    )(planes, ra, dev)
     _t2("wave", planes)
 
     out_pic = f.sr_cur
@@ -963,10 +1092,12 @@ def execute(f, plan):
         s_ah, s_aw = ah, aw
         sr_geom = None
     geom = (ah, aw, ach, acw, f.bh, f.bw, f.cur.h)
-    dev_out, packed = filter_prog(
-        planes, dev, geom=geom, bpc=bpc, layout_i=int(layout),
-        need_sr=need_sr, sr_geom=sr_geom, lr_ws=lr_ws,
-    )
+    dev_out, packed = prog(
+        "filter", filter_prog,
+        dict(geom=geom, bpc=bpc, layout_i=int(layout),
+             need_sr=need_sr, sr_geom=sr_geom, lr_ws=lr_ws),
+        (planes, dev),
+    )(planes, dev)
     _t2("filter", packed)
 
     out_pic._dev_planes = {0: dev_out[0]}
