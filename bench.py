@@ -47,20 +47,33 @@ from rav1d_tpu.io.ivf import IvfDemuxer
 n = 0
 t0 = time.perf_counter()
 t_first = None
+
+
+def _got(pic):
+    global n, t_first
+    pic.materialize()
+    n += 1
+    if t_first is None:
+        t_first = time.perf_counter()
+
+
+# dav1d.c main-loop shape: ONE get per send, then an explicit drain.
+# Under the engine's delayed-output ring (decoder._fetch_delay) this keeps
+# N frames in flight so device->host fetches batch across frames.
 for rep in range(%(reps)d):
     dec = Decoder(Settings(apply_grain=False))
     for pkt in IvfDemuxer(%(vec)r):
         dec.send_data(pkt.data, pkt.timestamp)
-        while True:
-            try:
-                pic = dec.get_picture()
-                pic.materialize()
-                n += 1
-                if t_first is None:
-                    t_first = time.perf_counter()
-            except EAgain:
-                break
+        try:
+            _got(dec.get_picture())
+        except EAgain:
+            pass
         if n >= %(limit)d:
+            break
+    while n < %(limit)d:  # drain the delayed-output ring
+        try:
+            _got(dec.get_picture())
+        except EAgain:
             break
     dec.close()
     if n >= %(limit)d:
@@ -210,57 +223,73 @@ def main():
     signal.signal(signal.SIGALRM, emit)
     signal.alarm(int(BUDGET_S) + 20)
 
-    details = {}
+    details = {name: {} for name, *_ in CONFIGS}
     out["detail"] = details
+
+    def left():
+        return BUDGET_S - (time.perf_counter() - t_start)
+
+    # ---- phase 1: guaranteed numbers FIRST (syntax ceiling + numpy path
+    # for every config) so a failing engine attempt can never erase them
+    # (round-4 regression: engine timeouts consumed the budget and 1080p/4K
+    # reported 0.0) ----
+    results_n = {}
     for name, vec, limit, reps, base in CONFIGS:
-        left = BUDGET_S - (time.perf_counter() - t_start)
-        if left < 45:
-            details[name] = {"error": "budget exhausted"}
+        d = details[name]
+        res_s = run_syntax_child(vec, limit, max(30.0, min(75, left() * 0.12)))
+        res_n = run_child(vec, limit, reps, "np", max(45.0, min(120, left() * 0.22)))
+        results_n[name] = res_n
+        d["fps"] = res_n.get("fps", 0.0)
+        d["path"] = "numpy"
+        d["numpy_fps"] = res_n.get("fps", 0.0)
+        d["syntax_fps"] = res_s.get("fps", 0.0)
+        d["steady_fps"] = res_n.get("steady_fps", 0.0)
+        d["first_frame_s"] = res_n.get("first_frame_s")
+        d["frames"] = res_n.get("frames", 0)
+        d["vs_dav1d_1core"] = round(res_n.get("fps", 0.0) / base, 5)
+        for r, p in ((res_n, "numpy"), (res_s, "syntax")):
+            if "error" in r:
+                d[f"{p}_error"] = r["error"]
+        if name == PRIMARY:
+            out["value"] = d["fps"]
+            out["vs_baseline"] = d["vs_dav1d_1core"]
+
+    # ---- phase 2: engine path with the remaining budget (primary config
+    # first), one retry for tunnel flakes ----
+    tunnel_ok = probe_tunnel() if left() > 170 else False
+    for name, vec, limit, reps, base in CONFIGS:
+        d = details[name]
+        if left() <= 160:
+            d["engine_fps"] = 0.0
+            d["engine_error"] = "budget exhausted"
             continue
-        # 1. syntax-plane ceiling (fast, pure host)
-        res_s = run_syntax_child(vec, limit, min(90, left * 0.2))
-        # 2. numpy path (guaranteed number)
-        left = BUDGET_S - (time.perf_counter() - t_start)
-        res_n = run_child(vec, limit, reps, "np", min(left * 0.35, 150))
-        # 3. engine path: the rest of this vector's share, one retry --
-        # but only when the tunnel's d2h path is actually alive
-        left = BUDGET_S - (time.perf_counter() - t_start)
-        share = left / max(1, sum(1 for c in CONFIGS if c[0] not in details))
-        et = max(120.0, share * 0.8)
-        if left <= 130:
-            res_e = {"error": "budget exhausted", "fps": 0.0, "frames": 0}
-        elif not probe_tunnel():
-            res_e = {"error": "tunnel d2h wedged; engine skipped",
-                     "fps": 0.0, "frames": 0}
-        else:
-            res_e = run_child(vec, limit, reps, "jax", et, retries=1)
-        e_fps = res_e.get("fps", 0)
-        pick, path = (
-            (res_e, "engine")
-            if e_fps > 0 and e_fps >= res_n.get("fps", 0)
-            else (res_n, "numpy")
+        if not tunnel_ok:
+            d["engine_fps"] = 0.0
+            d["engine_error"] = "tunnel d2h wedged; engine skipped"
+            continue
+        share = left() / max(
+            1, sum(1 for c in CONFIGS if "engine_fps" not in details[c[0]])
         )
-        details[name] = {
-            "fps": pick.get("fps", 0.0),
-            "path": path,
-            "engine_fps": res_e.get("fps", 0.0),
-            "numpy_fps": res_n.get("fps", 0.0),
-            "syntax_fps": res_s.get("fps", 0.0),
-            "steady_fps": pick.get("steady_fps", 0.0),
-            "first_frame_s": pick.get("first_frame_s"),
-            "frames": pick.get("frames", 0),
-            "vs_dav1d_1core": round(pick.get("fps", 0.0) / base, 5),
-        }
+        et = max(150.0, min(share * 0.85, left() - 25))
+        res_e = run_child(vec, limit, reps, "jax", et,
+                          retries=1 if name == PRIMARY else 0)
+        e_fps = res_e.get("fps", 0.0)
+        d["engine_fps"] = e_fps
         for key in ("engine_fallback", "stage_ms_per_frame", "retried"):
             if key in res_e:
-                details[name][f"engine_{key}" if key == "retried" else key] \
-                    = res_e[key]
-        for r, p in ((res_e, "engine"), (res_n, "numpy"), (res_s, "syntax")):
-            if "error" in r:
-                details[name][f"{p}_error"] = r["error"]
-        if name == PRIMARY:
-            out["value"] = pick.get("fps", 0.0)
-            out["vs_baseline"] = round(pick.get("fps", 0.0) / base, 5)
+                d[f"engine_{key}" if key == "retried" else key] = res_e[key]
+        if "error" in res_e:
+            d["engine_error"] = res_e["error"]
+        if e_fps > 0 and e_fps >= d["numpy_fps"]:
+            d["fps"] = e_fps
+            d["path"] = "engine"
+            d["steady_fps"] = res_e.get("steady_fps", 0.0)
+            d["first_frame_s"] = res_e.get("first_frame_s")
+            d["frames"] = res_e.get("frames", 0)
+            d["vs_dav1d_1core"] = round(e_fps / base, 5)
+            if name == PRIMARY:
+                out["value"] = e_fps
+                out["vs_baseline"] = d["vs_dav1d_1core"]
     signal.alarm(0)
     print(json.dumps(out))
 

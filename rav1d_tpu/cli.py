@@ -165,11 +165,15 @@ def main(argv=None) -> int:
             dec.send_data(pkt.data, pkt.timestamp)
         except EAgain:
             pass
-        while not done:
+        # one get per send (dav1d.c main-loop shape): under the engine's
+        # delayed-output ring this keeps N frames in flight so device
+        # fetches batch; a second get here would trigger the drain
+        # handshake and collapse the pipeline to depth 1
+        if not done:
             try:
                 done = emit(dec.get_picture())
             except EAgain:
-                break
+                pass
         if done:
             break
     while not done:  # drain

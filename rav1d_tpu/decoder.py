@@ -144,6 +144,14 @@ class Decoder:
         self.max_frame_delay = self.settings.max_frame_delay
         self._dense_exec = None  # FIFO worker for the dense half (n_fc ring)
         self._in_flight = []
+        # engine-mode delayed-output ring (dav1d's out_delayed,
+        # src/lib.rs:160-164): pictures wait here until `_fetch_delay()`
+        # frames are in flight, so the engine's device->host fetches batch
+        # K frames per transfer. `_drain` is dav1d_get_picture's c->drain
+        # handshake: set on every get_picture, reset by send_data, so two
+        # consecutive gets with no new input start draining the ring.
+        self._out_fifo = []
+        self._drain = False
         # first dense-pass failure, surfaced once on the next API call even
         # if the broken picture is never materialized (src/lib.rs:875-900
         # cached_error return-once semantics)
@@ -180,7 +188,31 @@ class Decoder:
     def _queue_out(self, pic):
         pic.new_tu = self._tu_flag
         self._tu_flag = False
-        self._out = pic
+        if self._fetch_delay() > 0 and not self._layered():
+            self._out_fifo.append(pic)
+        else:
+            self._out = pic
+
+    def _fetch_delay(self) -> int:
+        """Output delay in frames for the engine path: how many frames
+        decode ahead of the first picture output, so the batched d2h
+        fetch (engine/run2.flush_fetches) has K frames to amortize the
+        tunnel RTT over. 0 disables the ring (host paths: pixels are
+        already on the host). Settings.max_frame_delay>1 overrides the
+        default of FETCH_BATCH (dav1d: out_delayed depth = n_fc,
+        src/lib.rs:160-164)."""
+        from . import engine as _engine
+
+        if not _engine.enabled():
+            return 0
+        d = self.max_frame_delay
+        if d == 1:  # explicit "no delay" request
+            return 0
+        if d > 1:
+            return d
+        from .engine.run2 import FETCH_BATCH
+
+        return FETCH_BATCH
 
     def _picture_ready(self, drain):
         if not self._layered():
@@ -227,6 +259,7 @@ class Decoder:
         self._raise_cached_error()
         if len(data) == 0:
             raise DecodeError("empty data")
+        self._drain = False  # new input cancels the drain handshake
         self._pending_input = [bytes(data), timestamp]
         try:
             self._gen_picture()
@@ -268,6 +301,7 @@ class Decoder:
         Synchronous decode = n_fc==1, so each call drains the layer cache
         (rav1d_get_picture: output_picture_ready(c, c.n_fc == 1))."""
         self._raise_cached_error()
+        drain, self._drain = self._drain, True
         try:
             self._gen_picture()
         except EAgain:
@@ -279,6 +313,17 @@ class Decoder:
             self.n_tiles = 0
             err = e if isinstance(e, DecodeError) else DecodeError(str(e))
             raise err from e
+        if self._out_fifo:
+            # delayed-output ring: emit when over depth (submission
+            # pressure) or when two consecutive gets saw no new input
+            # (the c->drain handshake of dav1d_get_picture)
+            if len(self._out_fifo) > self._fetch_delay() or drain:
+                out = self._out_fifo.pop(0)
+                if self.apply_grain and out.frame_hdr is not None \
+                        and _has_grain(out):
+                    out = self._apply_grain(out)
+                return out
+            raise EAgain("output delayed (frame ring)")
         if self._picture_ready(True):
             out = self._output_image()
             if self.apply_grain and out.frame_hdr is not None and _has_grain(out):
@@ -293,6 +338,17 @@ class Decoder:
         self._pending_input = None
         self._out = None
         self._cache = None
+        if self._out_fifo:
+            self._out_fifo.clear()
+        self._drain = False
+        from . import engine as _engine
+
+        if _engine.enabled():
+            # complete any device-resident output fetches so dropped
+            # pictures release their device buffers
+            from .engine.run2 import flush_fetches
+
+            flush_fetches()
         self._tu_flag = False
         self.frame_hdr = None
         self.tiles.clear()

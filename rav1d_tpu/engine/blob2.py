@@ -31,13 +31,18 @@ def bucket_pow2(n, lo=4096):
 
 
 def bucket_fine(n, lo=4096):
-    """{1, 1.25, 1.5, 1.75} * pow2 steps: bounds upload waste to <= 25%
-    while keeping the distinct staging sizes O(log)."""
+    """{1, 1.5} * pow2 steps: bounds upload waste to <= 50%% while keeping
+    the distinct staging sizes small. Measured on the axon tunnel: the
+    FIRST upload of each distinct transfer size stalls ~400 ms (new-size
+    buffer setup in the relay), so a stream that wobbles across many fine
+    buckets pays that stall repeatedly — two steps per octave is the
+    sweet spot (round-5 trace: frames alternating 4 buckets cost ~80
+    ms/frame amortized in a 24-frame window)."""
     if n <= lo:
         return lo
     b = lo
     while True:
-        for num in (4, 5, 6, 7):
+        for num in (4, 6):
             c = (b * num) // 4
             if n <= c:
                 return c

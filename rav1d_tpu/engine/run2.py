@@ -61,8 +61,115 @@ def _pool():
     return _POOL
 
 
-def _compile_prog(jitfn, statics, specs):
-    return jitfn.lower(*specs, **statics).compile()
+# Disk cache of jax.export blobs: Python tracing+lowering of the four mega
+# programs costs ~100 s per process on this 2-core host (GIL-bound, so the
+# warm threads can't hide it) — the round-5 measured warm-start ramp.
+# Serialized StableHLO skips the retrace entirely: deserialize + compile
+# (which the persistent XLA cache makes cheap) takes the first frame from
+# ~107 s to seconds. Keyed by a hash of the engine sources so edits
+# invalidate. TPU-only, like the XLA cache (setup_cache).
+_EXPORT_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "..", ".jax_cache", "export"
+)
+_CODE_V = None
+
+
+def _export_path(name, statics, specs):
+    import hashlib
+
+    global _CODE_V
+    if _CODE_V is None:
+        h = hashlib.sha1()
+        base = os.path.dirname(__file__)
+        for fn in sorted(os.listdir(base)):
+            if fn.endswith(".py"):
+                h.update(open(os.path.join(base, fn), "rb").read())
+        for sub, names in (
+            ("tpu", ("itx.py", "cdef.py", "lf.py", "lr.py", "ipred.py")),
+            ("pallas", ("itx8.py", "itx_all.py")),
+            ("ref", ("itx.py",)),
+        ):
+            for fn in names:
+                p = os.path.join(base, "..", "ops", sub, fn)
+                if os.path.exists(p):
+                    h.update(open(p, "rb").read())
+        _CODE_V = h.hexdigest()[:16]
+    key = repr(
+        (
+            sorted(statics.items()),
+            [(tuple(s.shape), str(s.dtype)) for s in specs],
+        )
+    )
+    hk = hashlib.sha1(key.encode()).hexdigest()[:20]
+    return os.path.join(_EXPORT_DIR, f"{name}-{_CODE_V}-{hk}.jexp")
+
+
+def _save_export(jitfn, statics, specs, path):
+    """Re-trace and serialize (background, once per key per machine)."""
+    try:
+        from jax import export as jexport
+
+        # Pallas kernels lower to tpu_custom_call, which export's
+        # compatibility checker rejects by default; the blobs never leave
+        # this machine (same-version reload), so the check is moot here
+        try:
+            dis = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+                   jexport.DisabledSafetyCheck.custom_call("Sharding")]
+            exp = jexport.export(jitfn, disabled_checks=dis)(*specs, **statics)
+        except TypeError:
+            exp = jexport.export(jitfn)(*specs, **statics)
+        blob = exp.serialize()
+        os.makedirs(_EXPORT_DIR, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
+def _compile_prog(name, jitfn, statics, specs):
+    import time as _time
+
+    import jax
+
+    trace = os.environ.get("RAV1D_COMPILE_TRACE") == "1"
+    path = None
+    if jax.default_backend() == "tpu" \
+            and os.environ.get("RAV1D_NO_EXPORT_CACHE") != "1":
+        path = _export_path(name, statics, specs)
+    if path and os.path.exists(path):
+        try:
+            from jax import export as jexport
+
+            t0 = _time.perf_counter()
+            exp = jexport.deserialize(open(path, "rb").read())
+            ex = jax.jit(exp.call).lower(*specs).compile()
+            if trace:
+                print(
+                    "[compile] %s from export cache %.1fs"
+                    % (name, _time.perf_counter() - t0),
+                    flush=True,
+                )
+            return ex
+        except Exception as e:
+            if trace:
+                print("[compile] %s export load failed: %s" % (name, e),
+                      flush=True)
+    t0 = _time.perf_counter()
+    lowered = jitfn.lower(*specs, **statics)
+    t1 = _time.perf_counter()
+    ex = lowered.compile()
+    t2 = _time.perf_counter()
+    if trace:
+        print(
+            "[compile] %s lower %.1fs compile %.1fs"
+            % (name, t1 - t0, t2 - t1),
+            flush=True,
+        )
+    if path:
+        _pool().submit(_save_export, jitfn, statics, specs, path)
+    return ex
 
 
 def _submit_prog(name, jitfn, statics, specs):
@@ -74,7 +181,7 @@ def _submit_prog(name, jitfn, statics, specs):
     with _PROGS_LOCK:
         fut = _PROGS.get(key)
         if fut is None:
-            fut = _pool().submit(_compile_prog, jitfn, statics, specs)
+            fut = _pool().submit(_compile_prog, name, jitfn, statics, specs)
             _PROGS[key] = fut
     return fut
 
@@ -928,7 +1035,15 @@ def _pack_lr(f, blob, hdr):
         slot = 4 * pl + _KINDS.index(kind)
         hdr[LR0 + 2 * slot] = blob.add_words(d)
         hdr[LR0 + 2 * slot + 1] = nc
-    return lr_ws
+    # Quantize the per-frame max unit widths to two buckets: lr_ws is a
+    # STATIC of filter_prog, and letting it track frame content minted 5
+    # filter compile keys in the 140-frame bench stream alone (round-5
+    # measured: each costs 35-78 s of compile). The stripe kernels iterate
+    # data-driven unit lists, so a wider static W only pads the per-stripe
+    # tile; 384 = the largest possible edge-merged unit
+    # (unit_size 256 * 3/2, lr_apply.rs:261 max_unit_size).
+    Wy, Wc = lr_ws
+    return (96 if Wy <= 96 else 384, 96 if Wc <= 96 else 384)
 
 
 # ------------------------------- execute ---------------------------------
@@ -982,6 +1097,71 @@ def _capture_frame(f, plan, blob, hdr, srcs, extra):
 # cumulative per-stage wall time (ms) across all engine frames of the
 # process — the bench reports this split (VERDICT r3 weak #7)
 stage_ms = {"pack": 0.0, "upload": 0.0, "programs": 0.0, "fetch": 0.0}
+
+# ---------------------------------------------------------------------------
+# Batched deferred fetch.
+#
+# The tunnel's device->host path is latency-dominated (~60-200 ms RTT +
+# ~25 MB/s): fetching each frame's packed output synchronously puts the
+# whole RTT on every frame (round 4's measured 130-270 ms/frame @320p, the
+# engine's wall). Instead execute() leaves the packed output ON DEVICE and
+# registers the picture here; flush_fetches() stacks every pending output
+# with one traced concat and brings them home in ONE d2h transfer,
+# amortizing the RTT K-fold. The decoder provides the lookahead that makes
+# K>1 possible: engine mode delays picture output by a frame ring exactly
+# as dav1d's out_delayed ring does (src/lib.rs:160-164, n_fc frames in
+# flight before the first output).
+#
+# All of this stays on the thread that initialized jax: on this jax/axon
+# build copy_to_host_async() wedges and cross-thread fetches deadlock
+# (see the note at the bottom of execute()); a *batched* synchronous fetch
+# sidesteps both while still amortizing the latency.
+# ---------------------------------------------------------------------------
+
+_PENDING = []  # pictures whose packed output is still device-resident
+FETCH_BATCH = int(os.environ.get("RAV1D_FETCH_BATCH", "8"))
+
+
+def flush_fetches():
+    """Materialize every pending device-resident output: one jnp.stack
+    dispatch + one d2h transfer per packed geometry group."""
+    global _PENDING
+    if not _PENDING:
+        return
+    import time
+
+    import jax.numpy as jnp
+
+    pend, _PENDING = _PENDING, []
+    t0 = time.perf_counter()
+    groups = {}
+    for pic in pend:
+        p = getattr(pic, "_pending_fetch", None)
+        if p is None or isinstance(p[0], np.ndarray):
+            continue
+        groups.setdefault((p[0].shape, str(p[0].dtype)), []).append(pic)
+    for _, pics in groups.items():
+        if len(pics) == 1:
+            flats = [np.asarray(pics[0]._pending_fetch[0])]
+        else:
+            flats = list(
+                np.asarray(jnp.stack([p._pending_fetch[0] for p in pics]))
+            )
+        for pic, flat in zip(pics, flats):
+            _, psz, ah, aw, ach, acw = pic._pending_fetch
+            pic._pending_fetch = None
+            pic.y[:, :] = flat[:psz].reshape(ah, aw)
+            if pic.u is not None:
+                csz = ach * acw
+                pic.u[:, :] = flat[psz : psz + csz].reshape(ach, acw)
+                pic.v[:, :] = flat[psz + csz :].reshape(ach, acw)
+    stage_ms["fetch"] += (time.perf_counter() - t0) * 1e3
+    if _TRACE:
+        print(
+            "[engine] flush_fetches %d pics %.1f ms"
+            % (len(pend), (time.perf_counter() - t0) * 1e3),
+            flush=True,
+        )
 
 
 def execute(f, plan):
@@ -1104,27 +1284,24 @@ def execute(f, plan):
     if out_pic.u is not None:
         out_pic._dev_planes[1] = dev_out[1, :ach, :acw]
         out_pic._dev_planes[2] = dev_out[2, :ach, :acw]
-    # Fetch IMMEDIATELY after dispatch. Empirically on this jax/axon
-    # build: (a) copy_to_host_async() wedges the array's host future
-    # forever (this, not compile churn, was a root cause of round 3's
-    # engine bench timeouts), (b) a device->host fetch issued from any
-    # thread other than the one that initialized jax deadlocks, and (c)
-    # even main-thread fetches are flaky after an idle gap. The reliable
-    # pattern is dispatch -> fetch back-to-back on the main thread, so the
-    # engine runs synchronously per frame. RAV1D_LAZY_FETCH=1 restores the
-    # async-pipelined fetch for experiments.
+    # DEFER the fetch: leave the packed output device-resident and
+    # register it for the next flush_fetches() batch (see the note at the
+    # registry above). Empirically on this jax/axon build
+    # copy_to_host_async() wedges and cross-thread fetches deadlock, so
+    # the flush is a plain synchronous np.asarray on this same thread —
+    # but of K stacked frames at once, so the tunnel RTT is paid once per
+    # K frames instead of per frame. RAV1D_FETCH_BATCH=1 restores the
+    # round-4 synchronous per-frame fetch.
     t_prog = time.perf_counter()
-    if os.environ.get("RAV1D_LAZY_FETCH") == "1":
-        out_pic._pending_fetch = (packed, s_ah * s_aw, s_ah, s_aw, ach, acw)
-    else:
-        out_pic._pending_fetch = (
-            np.asarray(packed), s_ah * s_aw, s_ah, s_aw, ach, acw
-        )
+    out_pic._pending_fetch = (packed, s_ah * s_aw, s_ah, s_aw, ach, acw)
+    _PENDING.append(out_pic)
+    if len(_PENDING) >= FETCH_BATCH:
+        flush_fetches()
     t_end = time.perf_counter()
     stage_ms["pack"] += (t_pack - t0) * 1e3
     stage_ms["upload"] += (t_up - t_pack) * 1e3
     stage_ms["programs"] += (t_prog - t_up) * 1e3
-    stage_ms["fetch"] += (t_end - t_prog) * 1e3
+    # fetch time is accounted inside flush_fetches (batched across frames)
     if _TRACE:
         print(
             "[engine] pack %.1f up %.1f prog %.1f fetch %.1f ms "

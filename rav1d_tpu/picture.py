@@ -72,6 +72,15 @@ class Picture:
         pending = getattr(self, "_pending_fetch", None)
         if pending is None:
             return self
+        if not isinstance(pending[0], np.ndarray):
+            # device-resident packed output: flush the whole pending batch
+            # in one d2h transfer (engine/run2.flush_fetches)
+            from .engine.run2 import flush_fetches
+
+            flush_fetches()
+            pending = getattr(self, "_pending_fetch", None)
+            if pending is None:
+                return self
         flat, psz, ah, aw, ach, acw = pending
         self._pending_fetch = None
         flat = np.asarray(flat)

@@ -131,6 +131,11 @@ def mc(f, t, dst, dst_y, dst_x, bw4, bh4, bx, by, pl, mv, refp, refidx,
             if getattr(f, "bilin_jobs", None) is not None:
                 f.bilin_jobs.append(job)
                 return None
+        # host-computed path from here on: the ref's pixels must be on the
+        # host (engine-decoded refs may still be device-resident with a
+        # deferred batched fetch — run2.flush_fetches)
+        if getattr(refp, "_pending_fetch", None) is not None:
+            refp.materialize()
         if (
             dx < mx3
             or dy < my3
@@ -158,7 +163,11 @@ def mc(f, t, dst, dst_y, dst_x, bw4, bh4, bx, by, pl, mv, refp, refidx,
             )
         return None
     else:
-        # scaled reference (recon.rs mc scaled branch)
+        # scaled reference (recon.rs mc scaled branch) — always
+        # host-computed: fetch deferred device-resident ref pixels first
+        if getattr(refp, "_pending_fetch", None) is not None:
+            refp.materialize()
+
         def apply_sign64(v, s):
             return -v if s < 0 else v
 
@@ -331,6 +340,8 @@ def warp_affine(f, t, dst, dst_y, dst_x, prep_out, b_dim, pl, refp, wmp):
                      width, height)
                 )
                 continue
+            if getattr(refp, "_pending_fetch", None) is not None:
+                refp.materialize()  # host warp reads ref pixels directly
             if dx < 3 or dx + 8 + 4 > width or dy < 3 or dy + 8 + 4 > height:
                 src = M.emu_edge(15, 15, width, height, dx - 3, dy - 3, plane)
                 sy, sx = 3, 3

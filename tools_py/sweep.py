@@ -80,12 +80,13 @@ def decode_one(path, expected, filmgrain, timeout_s):
         n = 0
         for pkt in demux:
             dec.send_data(pkt.data, pkt.timestamp)
-            while True:
-                try:
-                    md5.write_picture(dec.get_picture())
-                    n += 1
-                except EAgain:
-                    break
+            # one get per send (dav1d.c main-loop shape): keeps the
+            # engine's delayed-output ring full so d2h fetches batch
+            try:
+                md5.write_picture(dec.get_picture())
+                n += 1
+            except EAgain:
+                pass
         while True:  # drain
             try:
                 md5.write_picture(dec.get_picture())
