@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ref.itx import _SHIFTS
+from ..ops.pallas.itx_all import PALLAS_SIZES, itx_pallas_core
 from .kernels import chunk_for, itx_any_core, wht_core
 from .plan import CAP, CLS_L, CLS_S
 from .tiles import (
@@ -106,6 +107,20 @@ def _u8_region(dev, base, n):
 # ------------------------------ residuals --------------------------------
 
 
+def _pallas_ok(w, h):
+    """Gate for the Pallas itx families: on by default on TPU,
+    RAV1D_PALLAS=0 disables, RAV1D_PALLAS=force enables the interpreter
+    path on CPU (parity tests)."""
+    import os
+
+    mode = os.environ.get("RAV1D_PALLAS", "auto")
+    if mode == "0" or (w, h) not in PALLAS_SIZES:
+        return False
+    if mode == "force":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("ah", "aw", "bpc"))
 def resid_prog(dev, *, ah, aw, bpc):
     """Inverse-transform every coefficient block of the frame into the
@@ -141,7 +156,13 @@ def resid_prog(dev, *, ah, aw, bpc):
             else:
                 cfs = dev[cf_base + offs[:, None] + jnp.arange(M)[None, :]]
             cb = cfs.reshape(B, sw_, sh_).transpose(0, 2, 1)
-            res = itx_any_core(cb, f0, f1, w, h, bpc)
+            # hot classes run as Pallas kernels (straight-line VPU
+            # butterflies with in-kernel per-lane variant select); the
+            # rest stay on the itx_any_core XLA path
+            if _pallas_ok(w, h):
+                res = itx_pallas_core(cb, f0, f1, w, h, bpc)
+            else:
+                res = itx_any_core(cb, f0, f1, w, h, bpc)
             idx = (
                 flat0[:, None, None]
                 + jnp.arange(h)[None, :, None] * aw

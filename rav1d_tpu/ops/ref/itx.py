@@ -41,6 +41,14 @@ def _clip(v, mn, mx):
     return v.clip(mn, mx)
 
 
+def _snap(v):
+    """Snapshot a lane before the in-place butterfly overwrites it: a real
+    copy for numpy's mutable arrays, the value itself for immutable jax
+    arrays (where .copy() would lower to a copy primitive Pallas/Mosaic
+    has no rule for)."""
+    return v.copy() if isinstance(v, np.ndarray) else v
+
+
 # -- 1-D kernels -----------------------------------------------------------
 # Each takes c: int64 array (N, L); operates in place along axis 0.
 
@@ -83,7 +91,7 @@ def _dct8(c, mn, mx, tx64=False):
     t6a = _clip(t7a - t6a, mn, mx)
     t5 = ((t6a - t5a) * 181 + 128) >> 8
     t6 = ((t6a + t5a) * 181 + 128) >> 8
-    t0, t1, t2, t3 = c[0].copy(), c[2].copy(), c[4].copy(), c[6].copy()
+    t0, t1, t2, t3 = _snap(c[0]), _snap(c[2]), _snap(c[4]), _snap(c[6])
     c[0] = _clip(t0 + t7, mn, mx)
     c[1] = _clip(t1 + t6, mn, mx)
     c[2] = _clip(t2 + t5, mn, mx)
@@ -140,8 +148,8 @@ def _dct16(c, mn, mx, tx64=False):
     t13a = ((t13_ + t10) * 181 + 128) >> 8
     t11 = ((t12a - t11a) * 181 + 128) >> 8
     t12 = ((t12a + t11a) * 181 + 128) >> 8
-    t0, t1, t2, t3 = c[0].copy(), c[2].copy(), c[4].copy(), c[6].copy()
-    t4, t5, t6, t7 = c[8].copy(), c[10].copy(), c[12].copy(), c[14].copy()
+    t0, t1, t2, t3 = _snap(c[0]), _snap(c[2]), _snap(c[4]), _snap(c[6])
+    t4, t5, t6, t7 = _snap(c[8]), _snap(c[10]), _snap(c[12]), _snap(c[14])
     c[0] = _clip(t0 + t15a, mn, mx)
     c[1] = _clip(t1 + t14, mn, mx)
     c[2] = _clip(t2 + t13a, mn, mx)
@@ -272,7 +280,7 @@ def _dct32(c, mn, mx, tx64=False):
     t25__ = ((t25a_ + t22a_) * 181 + 128) >> 8
     t23a_ = ((t24_ - t23_) * 181 + 128) >> 8
     t24a__ = ((t24_ + t23_) * 181 + 128) >> 8
-    t = [c[2 * i].copy() for i in range(16)]
+    t = [_snap(c[2 * i]) for i in range(16)]
     add = [
         t31_, t30a_, t29__, t28a__, t27__, t26a__, t25__, t24a__,
         t23a_, t22__, t21a__, t20__, t19a_, t18__, t17a_, t16_,
@@ -512,7 +520,7 @@ def _dct64(c, mn, mx):
     t53a_4 = ((t42___ + t53___) * 181 + 128) >> 8
     t54__2 = ((t41a_3 + t54a_3) * 181 + 128) >> 8
     t55a_3 = ((t40__ + t55__) * 181 + 128) >> 8
-    t = [c[2 * k].copy() for k in range(32)]
+    t = [_snap(c[2 * k]) for k in range(32)]
     add = [
         t63a_2, t62__, t61a_3, t60__, t59a_3, t58__2, t57a_3, t56__,
         t55a_3, t54__2, t53a_4, t52__2, t51a_3, t50__2, t49a_3, t48__,
