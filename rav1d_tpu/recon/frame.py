@@ -39,6 +39,12 @@ def decode_frame_syntax(ctx, f):
 
     f.coef_store = CoefStore(f.bw, f.bh)
     f.work_items = []
+    # native-core record ranges pending conversion to WorkItem objects:
+    # the conversion is the dense pass's input format, not syntax work
+    # (rav1d pass-1 just writes records, src/decode.rs:3853), and costs
+    # ~0.6 s/frame at 4K — so it is deferred to decode_frame_dense
+    # (materialize_work_items), off the syntax plane's critical path
+    f._wi_pending = []
 
     # frame-wide quant tables
     f.dq = [[[0, 0] for _ in range(3)] for _ in range(8)]
@@ -163,7 +169,7 @@ def decode_frame_syntax(ctx, f):
                         decode_tile_sbrow_wrap(t, f, ts, sby)
                 if is_inter_or_switch:
                     _refmvs.save_tmvs(f.rf, 0, f.bw >> 1, by >> 1, by_end)
-                sbrow_marks.append((tile_row, sby, len(f.work_items)))
+                sbrow_marks.append((tile_row, sby, _wi_len(f)))
 
     f.noskip8 = (
         f.noskip4[0 : f.bh + 32 : 2, 0 : f.bw + 32 : 2]
@@ -180,6 +186,32 @@ def decode_frame_syntax(ctx, f):
     f._dense_args = (t, tile_states, sbrow_marks, cols)
 
 
+def _wi_len(f):
+    """Logical work-item count: materialized items plus pending native
+    record ranges (1 record = 1 item)."""
+    return len(f.work_items) + sum(
+        hi - lo for _idx, lo, hi, _e in f._wi_pending
+    )
+
+
+def materialize_work_items(f):
+    """Convert pending native record ranges into WorkItem objects, in
+    decode order (the dense pass's input; deferred off the syntax plane)."""
+    pending = f._wi_pending
+    if not pending:
+        return
+    f._wi_pending = []
+    from ..native import syntax as _nsy
+
+    tile_states = f._dense_args[1]
+    for idx, lo, hi, tx_ends in pending:
+        f._sy_cur_tile = idx
+        f.work_items.extend(
+            _nsy.records_to_work_items(f, tile_states, lo, hi,
+                                       tx_ends=tx_ends)
+        )
+
+
 def decode_frame_dense(f):
     """Dense/pixel half: device engine when available (batched device
     phases + wave-scheduled intra + device post-filter chain; engine/),
@@ -190,6 +222,7 @@ def decode_frame_dense(f):
     from .. import engine as _engine
 
     frame_hdr = f.frame_hdr
+    materialize_work_items(f)  # deferred dense-pass input conversion
     t, tile_states, sbrow_marks, cols = f._dense_args
     f._dense_args = None
 
@@ -578,11 +611,8 @@ def _decode_tile_sbrow_native(t, f, ts, sby, tile_states):
     store.tx_pos = out.tx_pos
     store.cf_pos = out.cf_pos
 
-    # convert the new records into dense-pass work items
-    f._sy_cur_tile = ts._sy.tile_idx
-    f.work_items.extend(
-        _nsy.records_to_work_items(f, tile_states, rec_start, out.n_rec)
-    )
+    # queue the new records for lazy WorkItem conversion (dense-pass input)
+    f._wi_pending.append((ts._sy.tile_idx, rec_start, out.n_rec, None))
 
 
 def _syntax_tiles_parallel(ctx, f, tile_states, rows, cols, sbrow_marks,
@@ -710,12 +740,10 @@ def _syntax_tiles_parallel(ctx, f, tile_states, rows, cols, sbrow_marks,
                 idx = tr * cols + col
                 lo, hi = rows_by_tile[idx][sby]
                 gb = bases[idx]["rec_b"]
-                f._sy_cur_tile = idx
-                f.work_items.extend(_nsy.records_to_work_items(
-                    f, tile_states, gb + lo, gb + hi,
-                    tx_ends=ends_by_tile[idx][lo:hi],
-                ))
-            sbrow_marks.append((tr, sby, len(f.work_items)))
+                f._wi_pending.append(
+                    (idx, gb + lo, gb + hi, ends_by_tile[idx][lo:hi])
+                )
+            sbrow_marks.append((tr, sby, _wi_len(f)))
 
 
 def _sbrow_core(t, f, ts, sby, out, stk):
