@@ -210,9 +210,11 @@ class Decoder:
             return 0
         if d > 1:
             return d
-        from .engine.run2 import FETCH_BATCH
+        from .engine.run2 import FETCH_BATCH, FETCH_LAG
 
-        return FETCH_BATCH
+        # depth covers the batch plus the in-flight lag, so ring pops only
+        # ever see already-flushed pictures (no early forced flush)
+        return FETCH_BATCH + FETCH_LAG
 
     def _picture_ready(self, drain):
         if not self._layered():

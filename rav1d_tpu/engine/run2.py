@@ -1120,11 +1120,19 @@ stage_ms = {"pack": 0.0, "upload": 0.0, "programs": 0.0, "fetch": 0.0}
 
 _PENDING = []  # pictures whose packed output is still device-resident
 FETCH_BATCH = int(os.environ.get("RAV1D_FETCH_BATCH", "8"))
+# Frames left in flight when a batch flush triggers: the flush's blocking
+# asarray then waits only on the OLDEST K frames (long since executed)
+# while the newest LAG frames keep the device busy behind it — without
+# the lag, every flush drained the whole device queue and the device sat
+# idle while the host packed the next batch (measured: steady 5.5 fps
+# with ~90 ms/frame device exec that should pipeline to ~11).
+FETCH_LAG = int(os.environ.get("RAV1D_FETCH_LAG", "4"))
 
 
-def flush_fetches():
-    """Materialize every pending device-resident output: one jnp.stack
-    dispatch + one d2h transfer per packed geometry group."""
+def flush_fetches(count=None):
+    """Materialize pending device-resident outputs (the `count` oldest;
+    default all): one jnp.stack dispatch + one d2h transfer per packed
+    geometry group."""
     global _PENDING
     if not _PENDING:
         return
@@ -1132,7 +1140,10 @@ def flush_fetches():
 
     import jax.numpy as jnp
 
-    pend, _PENDING = _PENDING, []
+    if count is None or count >= len(_PENDING):
+        pend, _PENDING = _PENDING, []
+    else:
+        pend, _PENDING = _PENDING[:count], _PENDING[count:]
     t0 = time.perf_counter()
     groups = {}
     for pic in pend:
@@ -1295,8 +1306,8 @@ def execute(f, plan):
     t_prog = time.perf_counter()
     out_pic._pending_fetch = (packed, s_ah * s_aw, s_ah, s_aw, ach, acw)
     _PENDING.append(out_pic)
-    if len(_PENDING) >= FETCH_BATCH:
-        flush_fetches()
+    if len(_PENDING) >= FETCH_BATCH + FETCH_LAG:
+        flush_fetches(len(_PENDING) - FETCH_LAG)
     t_end = time.perf_counter()
     stage_ms["pack"] += (t_pack - t0) * 1e3
     stage_ms["upload"] += (t_up - t_pack) * 1e3
