@@ -267,6 +267,8 @@ class Decoder:
             self._gen_picture()
         except EAgain:
             raise
+        except (TimeoutError, KeyboardInterrupt):
+            raise  # harness alarms are not bitstream errors (no poison)
         except Exception as e:
             self._pending_input = None  # poison this TU, keep the decoder
             self.frame_hdr = None
@@ -308,6 +310,8 @@ class Decoder:
             self._gen_picture()
         except EAgain:
             raise
+        except (TimeoutError, KeyboardInterrupt):
+            raise  # harness alarms are not bitstream errors (no poison)
         except Exception as e:
             self._pending_input = None
             self.frame_hdr = None
