@@ -43,7 +43,7 @@ PRIMARY = "320x240_inter"
 BUDGET_S = float(os.environ.get("RAV1D_BENCH_BUDGET", "700"))
 
 _CHILD = r"""
-import json, sys, time
+import hashlib, json, sys, time
 sys.path.insert(0, %(root)r)
 from rav1d_tpu.decoder import Decoder, EAgain, Settings
 from rav1d_tpu.io.ivf import IvfDemuxer
@@ -51,11 +51,13 @@ from rav1d_tpu.io.ivf import IvfDemuxer
 n = 0
 t0 = time.perf_counter()
 t_first = None
+_md5 = hashlib.md5()  # output digest: engine vs numpy must agree
 
 
 def _got(pic):
     global n, t_first
-    pic.materialize()
+    for rows in pic.iter_plane_rows():
+        _md5.update(rows)
     n += 1
     if t_first is None:
         t_first = time.perf_counter()
@@ -85,7 +87,7 @@ for rep in range(%(reps)d):
 dt = time.perf_counter() - t0
 steady = (time.perf_counter() - t_first) if (t_first and n > 1) else dt
 res = {
-    "frames": n, "wall_s": round(dt, 3),
+    "frames": n, "wall_s": round(dt, 3), "md5": _md5.hexdigest(),
     "first_frame_s": round((t_first - t0), 3) if t_first else None,
     "steady_fps": round((n - 1) / steady, 3) if n > 1 and steady > 0 else 0.0,
     "fps": round(n / dt, 3) if dt > 0 else 0.0,
@@ -241,7 +243,8 @@ def main():
     for name, vec, limit, reps, base in CONFIGS:
         d = details[name]
         res_s = run_syntax_child(vec, limit, max(30.0, min(75, left() * 0.12)))
-        res_n = run_child(vec, limit, reps, "np", max(45.0, min(120, left() * 0.22)))
+        res_n = run_child(vec, limit, reps, "np",
+                          max(45.0, min(150, left() * 0.22)), retries=1)
         results_n[name] = res_n
         d["fps"] = res_n.get("fps", 0.0)
         d["path"] = "numpy"
@@ -284,6 +287,13 @@ def main():
                 d[f"engine_{key}" if key == "retried" else key] = res_e[key]
         if "error" in res_e:
             d["engine_error"] = res_e["error"]
+        # the engine's number only counts if its output digest matches the
+        # (757/757-conformance-verified) host path's on the same workload
+        ref_md5 = results_n[name].get("md5")
+        if res_e.get("md5") and ref_md5 and res_e["md5"] != ref_md5 \
+                and res_e.get("frames") == results_n[name].get("frames"):
+            d["engine_error"] = "output digest mismatch vs host path"
+            e_fps = 0.0
         if e_fps > 0 and e_fps >= d["numpy_fps"]:
             d["fps"] = e_fps
             d["path"] = "engine"

@@ -54,4 +54,11 @@ def run_dense(t, f, tile_states, sbrow_marks, cols) -> bool:
     ok = plan is not None and execute(f, plan)
     if not ok:
         stats["fallback"] += 1
+        import os
+
+        if os.environ.get("RAV1D_ENGINE_TRACE"):
+            import traceback
+
+            print("[engine] fallback: plan=%s" % (plan is not None),
+                  flush=True)
     return ok

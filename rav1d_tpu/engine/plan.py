@@ -186,9 +186,21 @@ def build_plan(t, f):
     """Build the device plan for a frame, or None if the frame uses a
     feature the engine does not cover yet (host fallback)."""
     frame_hdr = f.frame_hdr
-    # engine coverage gates (remaining: intra block copy, scaled refs)
-    if frame_hdr.allow_intrabc:
+
+    def _fb(reason):
+        import os
+
+        if os.environ.get("RAV1D_ENGINE_TRACE"):
+            print("[engine] plan fallback: %s" % reason, flush=True)
         return None
+
+    # engine coverage gates (remaining: intra block copy, scaled refs).
+    # allow_intrabc is only the frame-header PERMISSION (it also disables
+    # in-loop filters, which the syntax pass already records as zero
+    # levels); frames that permit but never USE intra block copy decode on
+    # the engine — blocks that do use it surface as non-intra work items
+    # in a key/intra frame and gate below (round-5: the 4K bench vector
+    # is exactly the permit-but-unused case).
 
     plan = FramePlan()
     store = f.coef_store
@@ -197,7 +209,7 @@ def build_plan(t, f):
     if frame_hdr.frame_type.is_key_or_intra:
         for wi in f.work_items:
             if wi.kind != "intra":
-                return None
+                return _fb("non-intra item in key/intra frame")
             t.bx, t.by = wi.bx, wi.by
             cur = [wi.tx_pos]  # store cursor (mirror of store.pop)
             if wi.pal is not None:
@@ -208,11 +220,11 @@ def build_plan(t, f):
         plan.wavefront_tx = np.arange(store.tx_pos)
     else:
         if any(f.svc[i][0]["scale"] for i in range(7)):
-            return None  # scaled references (svc): host fallback
+            return _fb("scaled references (svc)")
         from .inter import collect_inter
 
         if not collect_inter(t, f, plan):
-            return None
+            return _fb("collect_inter: uncovered inter feature")
 
     _assign_waves(plan, f)
     return plan

@@ -149,6 +149,8 @@ def main():
                          "the local CPU backend; records fallback counts")
     ap.add_argument("--stratify", type=int, default=0,
                     help="take only the first N vectors of each subdir")
+    ap.add_argument("--chunk", type=int, default=6,
+                    help="vectors per worker subprocess (memory bound)")
     args = ap.parse_args()
 
     if args.worker:
@@ -181,19 +183,28 @@ def main():
     todo = [it for it in items if (os.path.relpath(it[1], TEST_DATA), it[3]) not in done]
     print(f"{len(todo)} to run ({len(items) - len(todo)} cached in {args.out})")
 
-    # round-robin batches so slow dirs spread across workers
+    # round-robin batches so slow dirs spread across workers; each worker
+    # subprocess handles at most `chunk` vectors then exits — engine-mode
+    # CPU workers accumulate one compiled program set per geometry and a
+    # single long-lived worker OOMs ("LLVM compilation error: Cannot
+    # allocate memory" after ~45 vectors on this 2-core box)
     batches = [todo[i :: args.jobs] for i in range(args.jobs)]
-    procs = []
-    for i, b in enumerate(batches):
-        if not b:
-            continue
-        bf = f"/tmp/sweep_batch_{i}.json"
-        json.dump({"items": b, "out": args.out, "timeout": args.timeout,
-                   "engine": args.engine}, open(bf, "w"))
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
-        procs.append(subprocess.Popen([sys.executable, __file__, "--worker", bf], env=env))
-    for p in procs:
-        p.wait()
+    chunk = max(1, args.chunk)
+    for start in range(0, max(len(b) for b in batches if b), chunk):
+        procs = []
+        for i, b in enumerate(batches):
+            piece = b[start : start + chunk]
+            if not piece:
+                continue
+            bf = f"/tmp/sweep_batch_{i}_{start}.json"
+            json.dump({"items": piece, "out": args.out,
+                       "timeout": args.timeout, "engine": args.engine},
+                      open(bf, "w"))
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            procs.append(subprocess.Popen(
+                [sys.executable, __file__, "--worker", bf], env=env))
+        for p in procs:
+            p.wait()
 
     # summary
     results = []
